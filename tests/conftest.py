@@ -19,4 +19,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The env var alone is overridden by the preloaded axon plugin; the config
+# update below is what actually pins the backend to CPU.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
