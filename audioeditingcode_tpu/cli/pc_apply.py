@@ -1,0 +1,241 @@
+"""PC drift application CLI — flag-compatible with code/main_pc_apply_drift.py.
+
+Loads a PC-extraction checkpoint, re-runs the deterministic trajectory and
+applies drift along the chosen PCs inside [drift_start, drift_end), with
+optional patch mask + fade + fix_alpha blending against the stored
+trajectory, per-ev or combined (--combine_evs), and the --rand_v
+random-vector baseline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..editing.pc_drift import apply_drift, forward_directional
+from ..editing.pcdata import load_extraction
+from ..models.registry import load_model
+from ..models.text_encoders import repeat_cond
+from ..utils.audio_io import write_wav
+from .common import dump_run_summary, init_wandb, save_spectrogram_png, set_reproducibility
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("Apply extracted PCs to audio")
+    p.add_argument("--device_num", type=int, default=0)
+    p.add_argument("-s", "--seed", type=int, default=None)
+    p.add_argument("--extraction_path", type=str, required=True)
+    p.add_argument("--drift_start", type=int, required=True)
+    p.add_argument("--drift_end", type=int, required=True)
+    p.add_argument("--amount", type=float, required=True)
+    p.add_argument("--use_specific_ts_pc", type=int, default=None)
+    p.add_argument("--fix_alpha", type=float, default=None)
+    p.add_argument("--fade_length", type=float, default=0.0)
+    p.add_argument("--evs", type=int, nargs="+", default=[1])
+    p.add_argument("--combine_evs", action="store_true")
+    p.add_argument("--evals_pt", type=str, default=None,
+                   help="Precomputed averaged eigenvalues (.npz mapping t->eigvals)")
+    p.add_argument("--rand_v", action="store_true")
+    p.add_argument("--weights_dir", type=str, default=None)
+    p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--wandb_name", type=str, default=None)
+    p.add_argument("--wandb_group", type=str, default=None)
+    p.add_argument("--wandb_disable", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.shift_x0_for_np = True
+    args.sub_iters = None
+    if args.drift_start < args.drift_end:
+        raise ValueError("Drift start must be greater than drift end")
+
+    seed = set_reproducibility(args.seed)
+    for suffix in (".pt", ".npz"):
+        if args.extraction_path.endswith(suffix):
+            args.extraction_path = args.extraction_path[: -len(suffix)]
+
+    run_name = (
+        f"drift{args.drift_start}-{args.drift_end}"
+        f'{"_spts" + str(args.use_specific_ts_pc) if args.use_specific_ts_pc is not None else ""}'
+        f'{"_shiftx0-4np" if args.shift_x0_for_np else ""}'
+        f'{f"fix{args.fix_alpha}" if args.fix_alpha is not None else ""}'
+        f'{"_fade" + str(args.fade_length) if args.fade_length > 0 else ""}'
+        f'{"_avgeval" if args.evals_pt is not None else ""}'
+        f'{"_RAND" if args.rand_v else ""}'
+        f"_a{args.amount}"
+    )
+    wandb = init_wandb(args, "pc_application", run_name)
+
+    load = load_extraction(args.extraction_path)
+    ex_args = load["args"]
+    eigdata = load["eigdata"]
+    latents = jnp.asarray(load["latents"])
+    xts = jnp.asarray(load["xts"]) if args.fix_alpha is not None else None
+
+    rng = np.random.default_rng(seed)
+    if args.rand_v:
+        for k in eigdata:
+            v = eigdata[k]["eigvec"]
+            norm = np.linalg.norm(v)
+            r = rng.standard_normal(v.shape).astype(np.float32)
+            eigdata[k]["eigvec"] = r / np.linalg.norm(r) * norm
+
+    evals_override = None
+    if args.evals_pt is not None:
+        z = np.load(args.evals_pt)
+        evals_override = {int(k): z[k] for k in z.files}
+
+    # fade length in latent frames (reference :91-94)
+    args.fade_length = int(args.fade_length * latents.shape[3] / 15)
+
+    S = int(ex_args.num_diffusion_steps)
+    if args.weights_dir is None and getattr(ex_args, "weights_dir", None):
+        args.weights_dir = ex_args.weights_dir
+    if args.weights_dir is None:
+        warnings.warn("running with RANDOM weights.")
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    pipe = load_model(ex_args.model_id, S, weights_dir=args.weights_dir, dtype=dtype)
+    cfg_tar = float(getattr(ex_args, "cfg_tar_scalar", np.atleast_1d(ex_args.cfg_tar)[0]))
+    eta = float(ex_args.eta)
+
+    uncond = pipe.encode_text(list(ex_args.target_neg_prompt), negative=True)
+    text = pipe.encode_text(list(ex_args.source_prompt))
+
+    # mask + fade (reference :107-118)
+    mask = None
+    if args.fix_alpha is not None:
+        m = np.zeros(np.asarray(latents[0]).shape, dtype=np.float32)
+        patch = getattr(ex_args, "patch", None)
+        if patch is not None:
+            m[:, :, patch[0]: patch[1], :] = 1
+            fl = args.fade_length
+            if fl > 0:
+                ramp = np.linspace(0, 1, fl, dtype=np.float32)[None, None, :, None]
+                m[:, :, patch[0] - fl: patch[0], :] = ramp
+                m[:, :, patch[1]: patch[1] + fl, :] = ramp[:, :, ::-1, :]
+        else:
+            m[...] = 1
+        mask = jnp.asarray(m)
+
+    drift_start_it = S - args.drift_start
+    drift_end_it = S - args.drift_end
+    timesteps = np.asarray(pipe.sched.timesteps)
+
+    n_out = 1 if args.combine_evs else len(args.evs)
+    eps_pair_1 = pipe.make_eps_pair(uncond, text)
+    eps_pair_n = pipe.make_eps_pair(repeat_cond(uncond, n_out), repeat_cond(text, n_out))
+
+    @jax.jit
+    def traj_step(xt, k, latent):
+        return forward_directional(pipe.sched, eps_pair_1, xt, k, latent, cfg_tar, eta=eta)
+
+    @jax.jit
+    def traj_step_n(xt, k, latent):
+        return forward_directional(pipe.sched, eps_pair_n, xt, k, latent, cfg_tar, eta=eta)
+
+    xt = latents[0]
+    parallel_xt = xts[0] if (args.fix_alpha is not None and xts is not None) else None
+
+    for it in range(S):
+        k = jnp.asarray(it)
+        latent = latents[it + 1]
+        step = traj_step if xt.shape[0] == 1 else traj_step_n
+        lat_b = jnp.repeat(latent, xt.shape[0], axis=0) if xt.shape[0] > 1 else latent
+        xt_m1, x0_pred = step(xt, k, lat_b)
+
+        if args.fix_alpha is not None and xts is not None:
+            parallel_xt = xts[it + 1]
+
+        if drift_start_it <= it < drift_end_it:
+            t_val = int(timesteps[it])
+            use_t = (
+                t_val
+                if args.use_specific_ts_pc is None
+                else int(timesteps[S - args.use_specific_ts_pc])
+            )
+            vec_all = jnp.asarray(eigdata[use_t]["eigvec"])  # (n_ev, ...)
+            if evals_override is not None:
+                val_all = jnp.asarray(evals_override[t_val])
+            else:
+                val_all = jnp.asarray(eigdata[t_val]["eigval"])
+
+            if args.combine_evs:
+                sel = [e - 1 for e in args.evs]
+                xt_m1 = apply_drift(
+                    pipe.sched, k, xt_m1, x0_pred,
+                    vec_all[jnp.asarray(sel)], val_all[jnp.asarray(sel)],
+                    latent, eta=eta, amount=args.amount,
+                    use_shifted_x0_for_noisepred=args.shift_x0_for_np,
+                )
+            else:
+                outs = []
+                for ev_idx, ev_num in enumerate(args.evs):
+                    src_xt = xt_m1[ev_idx: ev_idx + 1] if xt_m1.shape[0] > 1 else xt_m1
+                    src_x0 = x0_pred[ev_idx: ev_idx + 1] if x0_pred.shape[0] > 1 else x0_pred
+                    outs.append(
+                        apply_drift(
+                            pipe.sched, k, src_xt, src_x0,
+                            vec_all[ev_num - 1: ev_num], val_all[ev_num - 1: ev_num],
+                            latent, eta=eta, amount=args.amount,
+                            use_shifted_x0_for_noisepred=args.shift_x0_for_np,
+                        )
+                    )
+                xt_m1 = jnp.concatenate(outs, axis=0)
+
+            if args.fix_alpha is not None and parallel_xt is not None:
+                xt_m1 = mask * xt_m1 + (1 - mask) * (
+                    args.fix_alpha * parallel_xt + (1 - args.fix_alpha) * xt_m1
+                )
+        xt = xt_m1
+
+    drifts_path = args.extraction_path + "_driftgens"
+    os.makedirs(drifts_path, exist_ok=True)
+
+    x_dec = jnp.concatenate(
+        [pipe.vae_decode(xt[i: i + 1]) for i in range(xt.shape[0])], axis=0
+    )
+    audio = np.asarray(pipe.decode_to_mel(x_dec))
+
+    def out_name(prefix):
+        return (
+            f"{prefix}_drift{args.drift_start}-{args.drift_end}"
+            f'{"_spts" + str(args.use_specific_ts_pc) if args.use_specific_ts_pc is not None else ""}'
+            f"_it{ex_args.iters if args.sub_iters is None else args.sub_iters}"
+            f"_shiftednp{args.shift_x0_for_np}"
+            f'{"_fade" + str(args.fade_length) if args.fade_length > 0 else ""}'
+            f'{f"_fix{args.fix_alpha}" if args.fix_alpha is not None else ""}'
+            f'{"_avgeval" if args.evals_pt is not None else ""}'
+            f'{"_RAND" if args.rand_v else ""}'
+            f"_a{args.amount}.wav"
+        )
+
+    outputs = []
+    if args.combine_evs:
+        name = out_name(f'pcs{"".join(str(x) for x in args.evs)}')
+        write_wav(os.path.join(drifts_path, name), audio[0:1], pipe.get_sr())
+        outputs.append(os.path.join(drifts_path, name))
+    else:
+        for ev_idx, ev_num in enumerate(args.evs):
+            name = out_name(f"pc{ev_num}")
+            write_wav(os.path.join(drifts_path, name),
+                      audio[min(ev_idx, audio.shape[0] - 1)][None], pipe.get_sr())
+            outputs.append(os.path.join(drifts_path, name))
+
+    save_spectrogram_png(os.path.join(drifts_path, "drift_spec.png"), np.asarray(x_dec))
+    dump_run_summary(drifts_path, args, {"seed": seed})
+    for o in outputs:
+        print(f"[+] saved {o}")
+    wandb.finish()
+    return outputs
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,248 @@
+"""Unsupervised PC-extraction CLI — flag-compatible with
+code/main_pc_extract_inv.py.
+
+Pipeline: edit-friendly inversion (one scan), then per-timestep subspace
+power iteration over the drift window. The n_ev eigenvector batch and the
+cond/uncond pair are fused into single UNet forwards; each timestep's
+50-iteration power loop is one jitted scan. Results are checkpointed
+incrementally every 10 timesteps like the reference (:245-250).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..editing.invert import inversion_forward_process
+from ..editing.pc_drift import (
+    PCStreamChoice,
+    forward_directional,
+    get_eigenvectors,
+    snapshot_iterations,
+)
+from ..editing.pcdata import save_extraction
+from ..models.registry import load_model, resolve_spec
+from ..models.text_encoders import repeat_cond
+from ..utils.audio_io import load_audio, write_wav
+from .common import (
+    dump_run_summary,
+    init_wandb,
+    save_spectrogram_png,
+    set_reproducibility,
+    timestamp_name,
+)
+from .run import MODEL_CHOICES
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Extract PCs for a real audio signal")
+    p.add_argument("--device_num", type=int, default=0)
+    p.add_argument("-s", "--seed", type=int, default=None)
+    p.add_argument("--cfg_tar", type=float, nargs="+", default=[3])
+    p.add_argument("--model_id", type=str, choices=MODEL_CHOICES,
+                   default="cvssp/audioldm2-music")
+    p.add_argument("--init_aud", type=str, required=True)
+    p.add_argument("--num_diffusion_steps", type=int, default=200)
+    p.add_argument("--source_prompt", type=str, nargs="+", default=[""])
+    p.add_argument("--target_neg_prompt", type=str, nargs="+", default=[""])
+    p.add_argument("--corr_to_swap", type=float, default=0.8)
+    p.add_argument("--drift_start", type=int, default=None)
+    p.add_argument("--drift_end", type=int, default=None)
+    p.add_argument("--results_path", default="pc_extractions")
+    p.add_argument("-c", "--const", type=float, default=1e-3)
+    p.add_argument("--n_evs", type=int, default=1)
+    p.add_argument("-p", "--patch", nargs=2, default=None, type=int)
+    p.add_argument("-t", "--iters", type=int, default=50)
+    p.add_argument("-d", "--dry", action="store_true")
+    p.add_argument("--weights_dir", type=str, default=None)
+    p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--wandb_name", type=str, default=None)
+    p.add_argument("--wandb_group", type=str, default=None)
+    p.add_argument("--wandb_disable", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.pc_mode = "both"
+    args.eta = 1.0
+    args.numerical_fix = True
+    if not os.path.exists(args.init_aud):
+        raise FileNotFoundError(f"--init_aud: no such file: {args.init_aud}")
+
+    seed = set_reproducibility(args.seed)
+    rng = jax.random.PRNGKey(seed)
+    cfg_tar = float(np.atleast_1d(args.cfg_tar)[0])
+
+    ts_name = timestamp_name()
+    image_name = (
+        f"s{args.seed}_"
+        + (f"p{args.patch[0]}-{args.patch[1]}_" if args.patch is not None else "")
+        + f"pc-{args.pc_mode}_cfgd{args.cfg_tar}_"
+        + f"drift{args.drift_start}-{args.drift_end}_it{args.iters}_c{args.const:.1e}"
+        + f"_{ts_name}"
+    )
+    wandb = init_wandb(args, "pc_extraction_inv", image_name)
+
+    if args.weights_dir is None:
+        warnings.warn("--weights_dir not given: running with RANDOM weights.")
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    pipe = load_model(args.model_id, args.num_diffusion_steps,
+                      weights_dir=args.weights_dir, dtype=dtype)
+    spec = resolve_spec(args.model_id)
+    S = args.num_diffusion_steps
+
+    if args.drift_start is None:
+        args.drift_start = S
+    if args.drift_end is None:
+        args.drift_end = -1
+    drift_start_it = S - args.drift_start
+    drift_end_it = S - args.drift_end
+
+    x0, sr, duration = load_audio(args.init_aud, pipe.mel_config,
+                                  stft=True, model_sr=pipe.get_sr())
+    x0 = jnp.asarray(x0)
+    w0 = pipe.vae_encode(x0)
+
+    uncond = pipe.encode_text(args.target_neg_prompt, negative=True)
+    has_src = len(args.source_prompt) > 1 or args.source_prompt[0] != ""
+    src = pipe.encode_text(args.source_prompt) if has_src else None
+    text = pipe.encode_text(args.source_prompt)
+
+    # edit-friendly inversion (reference :135-140)
+    from ..editing.cfg import build_cfg_tensors
+
+    cfg_t, _ = build_cfg_tensors(w0.shape, args.source_prompt, [cfg_tar],
+                                 zero_empty_prompts=True)
+    fwd_den = pipe.make_denoiser(pipe.encode_text([""], negative=True), src, cfg_t)
+    rng, r_inv = jax.random.split(rng)
+    _, zs, wts = jax.jit(
+        lambda w, r: inversion_forward_process(
+            pipe.sched, fwd_den, w, r, eta=args.eta, numerical_fix=args.numerical_fix
+        )
+    )(w0, r_inv)
+
+    # latents[0] = x_T; latents[it+1] = z used at iteration it (:142-143)
+    latents = jnp.concatenate([wts[S: S + 1], jnp.flip(zs, axis=0)], axis=0)
+
+    mask = np.zeros(w0.shape, dtype=np.float32)  # (1, C, H, W)
+    if args.patch is not None:
+        mask[:, :, args.patch[0]: args.patch[1], :] = 1
+    else:
+        mask[...] = 1
+    mask_j = jnp.asarray(mask)
+
+    n_ev = args.n_evs
+    uncond_ev = repeat_cond(uncond, n_ev)
+    text_ev = repeat_cond(text, n_ev)
+    eps_pair = pipe.make_eps_pair(uncond, text)
+    eps_pair_ev = pipe.make_eps_pair(uncond_ev, text_ev)
+
+    @jax.jit
+    def traj_step(xt, k, latent):
+        return forward_directional(pipe.sched, eps_pair, xt, k, latent, cfg_tar,
+                                   eta=args.eta)
+
+    @jax.jit
+    def eig_step(xt, k, latent, x0_pred, r):
+        xt_ev = jnp.repeat(xt, n_ev, axis=0)
+        x0_ev = jnp.repeat(x0_pred, n_ev, axis=0)
+        lat_ev = jnp.repeat(latent, n_ev, axis=0)
+        return get_eigenvectors(
+            pipe.sched, eps_pair_ev, xt_ev, lat_ev, mask_j, k, x0_ev, r,
+            mode=PCStreamChoice.BOTH, const=args.const, cfg_tar=cfg_tar,
+            iters=args.iters, eta=args.eta, n_ev=n_ev,
+        )
+
+    save_path = os.path.join(
+        args.results_path,
+        args.model_id.split("/")[1] if "/" in args.model_id else args.model_id,
+        os.path.basename(args.init_aud).split(".")[0],
+        "pmt_" + "__".join(x.replace(" ", "_") for x in args.source_prompt)
+        + "__neg__" + "__".join(x.replace(" ", "_") for x in args.target_neg_prompt),
+    )
+    os.makedirs(save_path, exist_ok=True)
+    ckpt_path = os.path.join(save_path, image_name + ".npz")
+
+    xt = latents[0]
+    prev_pc = None
+    eig_ts, eig_its = [], []
+    eig_vecs, eig_vals, interm_vecs, interm_vals, norm_factors = [], [], [], [], []
+    corrs, in_corrs, in_norms = [], [], []
+    xts_list = [np.asarray(xt)]
+    snaps = snapshot_iterations(args.iters)
+    timesteps = np.asarray(pipe.sched.timesteps)
+
+    def _save():
+        save_extraction(
+            ckpt_path, vars(args) | {"seed": seed, "cfg_tar_scalar": cfg_tar},
+            eig_ts, eig_its,
+            np.asarray(eig_vecs) if eig_vecs else np.zeros((0,)),
+            np.asarray(eig_vals) if eig_vals else np.zeros((0,)),
+            np.asarray(interm_vecs) if interm_vecs else np.zeros((0,)),
+            np.asarray(interm_vals) if interm_vals else np.zeros((0,)),
+            list(snaps),
+            np.asarray(norm_factors) if norm_factors else np.zeros((0,)),
+            np.asarray(corrs) if corrs else np.zeros((0,)),
+            np.asarray(in_corrs) if in_corrs else np.zeros((0,)),
+            np.asarray(in_norms) if in_norms else np.zeros((0,)),
+            np.asarray(latents),
+            np.asarray(xts_list),
+        )
+
+    for it in range(S):
+        k = jnp.asarray(it)
+        xt_m1, x0_pred = traj_step(xt, k, latents[it + 1])
+
+        if not args.dry and drift_start_it <= it < drift_end_it:
+            rng, r_eig = jax.random.split(rng)
+            res = eig_step(xt, k, latents[it + 1], x0_pred, r_eig)
+            vecs = np.asarray(res.eigvecs)
+            corr = None
+            if it > drift_start_it and prev_pc is not None:
+                corr = np.sum(prev_pc.reshape(n_ev, -1) * vecs.reshape(n_ev, -1), axis=1)
+                for ev in range(n_ev):
+                    if corr[ev] <= -args.corr_to_swap:
+                        vecs[ev] *= -1
+                        corr[ev] *= -1
+                        print(f"swapped eigvec {ev + 1}!")
+                corrs.append(corr)
+            prev_pc = vecs
+            t_val = int(timesteps[it])
+            eig_ts.append(t_val)
+            eig_its.append(it)
+            eig_vecs.append(vecs)
+            eig_vals.append(np.asarray(res.eigvals))
+            interm_vecs.append(np.asarray(res.interm_eigvecs))
+            interm_vals.append(np.asarray(res.interm_eigvals))
+            norm_factors.append(float(np.sqrt(pipe.sched.step_alpha_prod[it])))
+            in_corrs.append(np.asarray(res.in_corrs))
+            in_norms.append(np.asarray(res.in_norms))
+
+        xt = xt_m1
+        xts_list.append(np.asarray(xt))
+        if it % 10 == 0:
+            _save()
+    _save()
+
+    # final decode of the (drift-free) trajectory end
+    x_dec = pipe.vae_decode(xt)
+    audio = np.asarray(pipe.decode_to_mel(x_dec))
+    orig_audio = np.asarray(pipe.decode_to_mel(x0))
+    save_spectrogram_png(os.path.join(save_path, image_name + ".png"), np.asarray(x_dec))
+    write_wav(os.path.join(save_path, image_name + ".wav"), audio, sr)
+    write_wav(os.path.join(save_path, "orig.wav"), orig_audio, sr)
+    dump_run_summary(save_path, args, {"seed": seed})
+    print(f"[+] extraction saved to {ckpt_path}")
+    wandb.finish()
+    return ckpt_path
+
+
+if __name__ == "__main__":
+    main()

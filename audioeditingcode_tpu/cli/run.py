@@ -1,0 +1,193 @@
+"""Text-based audio editing CLI — flag-compatible with the reference's
+code/main_run.py (README.md:54-104 documents the public surface).
+
+Differences by design:
+- --weights_dir points at a converted-checkpoint directory (see
+  tools/convert_checkpoint.py); without it the run uses random weights
+  (useful only for smoke tests/benchmarks and clearly warned about).
+- --device_num is accepted for compatibility; device selection is JAX's.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import warnings
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..editing.cfg import build_cfg_tensors
+from ..editing.ddim import ddim_generation_loop, ddim_inversion_loop
+from ..editing.invert import inversion_forward_process, inversion_reverse_process
+from ..models.registry import load_model, resolve_spec
+from ..utils.audio_io import load_audio, write_wav
+from .common import (
+    dump_run_summary,
+    edit_image_name,
+    edit_save_path,
+    init_wandb,
+    save_spectrogram_png,
+    set_reproducibility,
+)
+
+MODEL_CHOICES = [
+    "cvssp/audioldm-s-full-v2",
+    "cvssp/audioldm-l-full",
+    "cvssp/audioldm2",
+    "cvssp/audioldm2-large",
+    "cvssp/audioldm2-music",
+    "declare-lab/tango-full-ft-audio-music-caps",
+    "declare-lab/tango-full-ft-audiocaps",
+    "stabilityai/stable-audio-open-1.0",
+    "test/tiny-audioldm",
+]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Run text-based audio editing.")
+    p.add_argument("--device_num", type=int, default=0, help="GPU device number (compat; unused)")
+    p.add_argument("-s", "--seed", type=int, default=None)
+    p.add_argument("--model_id", type=str, choices=MODEL_CHOICES,
+                   default="cvssp/audioldm2-music")
+    p.add_argument("--init_aud", type=str, required=True)
+    p.add_argument("--cfg_src", type=float, nargs="+", default=[3])
+    p.add_argument("--cfg_tar", type=float, nargs="+", default=[12])
+    p.add_argument("--num_diffusion_steps", type=int, default=200)
+    p.add_argument("--target_prompt", type=str, nargs="+", default=[""], required=True)
+    p.add_argument("--source_prompt", type=str, nargs="+", default=[""])
+    p.add_argument("--target_neg_prompt", type=str, nargs="+", default=[""])
+    p.add_argument("--tstart", type=int, nargs="+", default=[100])
+    p.add_argument("--results_path", type=str, default="results")
+    p.add_argument("--cutoff_points", type=float, nargs="*", default=None)
+    p.add_argument("--mode", default="ours", choices=["ours", "ddim"])
+    p.add_argument("--fix_alpha", type=float, default=0.1)
+    p.add_argument("--weights_dir", type=str, default=None,
+                   help="Directory of converted Flax weights")
+    p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--wandb_name", type=str, default=None)
+    p.add_argument("--wandb_group", type=str, default=None)
+    p.add_argument("--wandb_disable", action="store_true", default=True)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.eta = 1.0
+    args.numerical_fix = True
+
+    if not os.path.exists(args.init_aud):
+        raise FileNotFoundError(f"--init_aud: no such file: {args.init_aud}")
+
+    seed = set_reproducibility(args.seed)
+    rng = jax.random.PRNGKey(seed)
+    wandb = init_wandb(args, "text_edit", "run")
+
+    if args.weights_dir is None:
+        warnings.warn(
+            "--weights_dir not given: running with RANDOM weights "
+            "(smoke-test mode, outputs are not meaningful audio)."
+        )
+
+    if len(args.tstart) != len(args.target_prompt):
+        if len(args.tstart) == 1:
+            args.tstart = args.tstart * len(args.target_prompt)
+        else:
+            raise ValueError("T-start amount and target prompt amount don't match.")
+    tstart = np.asarray(args.tstart, dtype=np.int64)
+    skip = args.num_diffusion_steps - tstart
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    pipe = load_model(args.model_id, args.num_diffusion_steps,
+                      weights_dir=args.weights_dir, dtype=dtype)
+    spec = resolve_spec(args.model_id)
+
+    x0, sr, duration = load_audio(
+        args.init_aud, pipe.mel_config,
+        stft=(spec.family != "stable-audio"), model_sr=pipe.get_sr(),
+    )
+    x0 = jnp.asarray(x0)
+    w0 = pipe.vae_encode(x0)
+
+    uncond = pipe.encode_text(args.target_neg_prompt, negative=True)
+    has_src = len(args.source_prompt) > 1 or args.source_prompt[0] != ""
+    src = pipe.encode_text(args.source_prompt) if has_src else None
+    tgt = pipe.encode_text(args.target_prompt)
+
+    cfg_src_t, _ = build_cfg_tensors(
+        w0.shape, args.source_prompt, list(args.cfg_src),
+        cutoff_points=args.cutoff_points, zero_empty_prompts=True,
+    )
+    cfg_tar_t, masks = build_cfg_tensors(
+        w0.shape, args.target_prompt, list(args.cfg_tar),
+        cutoff_points=args.cutoff_points,
+    )
+
+    if args.mode == "ddim":
+        if len(args.cfg_src) > 1 or len(args.cfg_tar) > 1:
+            raise ValueError("DDIM only supports one cfg scale value")
+        if len(args.source_prompt) > 1 or len(args.target_prompt) > 1:
+            raise ValueError("DDIM only supports single prompts")
+        if (skip != 0).any():
+            warnings.warn(
+                "Plain DDIM Inversion should be run with t_start == "
+                "num_diffusion_steps. You are now running partial DDIM inversion.",
+                RuntimeWarning,
+            )
+        fwd_den = pipe.make_denoiser(pipe.encode_text([""], negative=True), src, cfg_src_t)
+        rev_den = pipe.make_denoiser(pipe.encode_text([""], negative=True), tgt, cfg_tar_t)
+
+        @jax.jit
+        def ddim_edit(w0):
+            wT = ddim_inversion_loop(pipe.sched, fwd_den, w0, skip=int(skip[0]))
+            return ddim_generation_loop(pipe.sched, rev_den, wT, skip=int(skip[0]))
+
+        w_edit = ddim_edit(w0)
+    else:
+        fwd_den = pipe.make_denoiser(pipe.encode_text([""], negative=True), src, cfg_src_t)
+        rev_den = pipe.make_denoiser(uncond, tgt, cfg_tar_t)
+        T = int(args.num_diffusion_steps - skip.min())
+        multi = len(args.target_prompt) > 1
+        tstart_j = jnp.asarray(tstart)
+
+        @jax.jit
+        def edit(w0, rng):
+            _, zs, xts = inversion_forward_process(
+                pipe.sched, fwd_den, w0, rng, eta=args.eta,
+                numerical_fix=args.numerical_fix,
+            )
+            return inversion_reverse_process(
+                pipe.sched, rev_den, xts, zs[:T], eta=args.eta,
+                tstart=tstart_j if multi else None,
+                fix_alpha=args.fix_alpha,
+                masks=masks if multi else None,
+            )
+
+        w_edit = edit(w0, rng)
+
+    # decode + vocode (fused on device)
+    x_dec = pipe.vae_decode(w_edit)
+    audio = np.asarray(pipe.decode_to_mel(x_dec))
+    orig_audio = np.asarray(pipe.decode_to_mel(x0))
+
+    save_path = edit_save_path(args.results_path, args.model_id, args.init_aud,
+                               args.source_prompt, args.target_prompt,
+                               args.target_neg_prompt)
+    os.makedirs(save_path, exist_ok=True)
+    name = edit_image_name(args.mode, args.cfg_src, args.cfg_tar, skip,
+                           args.num_diffusion_steps)
+
+    save_spectrogram_png(os.path.join(save_path, name + ".png"), np.asarray(x_dec))
+    write_wav(os.path.join(save_path, name + ".wav"), audio, sr)
+    write_wav(os.path.join(save_path, "orig.wav"), orig_audio, sr)
+    dump_run_summary(save_path, args, {"seed": seed, "duration": duration})
+    print(f"[+] saved {os.path.join(save_path, name + '.wav')}")
+
+    wandb.finish()
+    return os.path.join(save_path, name + ".wav")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Device-mesh utilities: dp x tp sharding for the editing workloads.
+
+The reference is single-GPU (SURVEY.md §2: no distributed code in the main
+path); multi-chip scaling is a new first-class component of this framework:
+
+- 'dp' (data axis): shards independent batch work — the n_ev power-iteration
+  batch, multi-prompt CFG batches, eval batches. Embarrassingly parallel;
+  collectives only at QR/orthonormalization points.
+- 'tp' (tensor axis): shards UNet/VAE weight matrices along output channels
+  / attention heads. XLA GSPMD inserts the all-gathers/reduce-scatters over
+  ICI from the NamedSharding annotations — no hand-written collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
+              tp: Optional[int] = None) -> Mesh:
+    """Create a ('dp', 'tp') mesh over the first n_devices devices."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    if dp is None and tp is None:
+        tp = 2 if n % 2 == 0 and n >= 2 else 1
+        dp = n // tp
+    elif dp is None:
+        dp = n // tp
+    elif tp is None:
+        tp = n // dp
+    assert dp * tp == n, f"dp({dp}) * tp({tp}) != n({n})"
+    mesh_devices = mesh_utils.create_device_mesh((dp, tp), devices=devices[:n])
+    return Mesh(mesh_devices, ("dp", "tp"))
+
+
+def replicate(tree, mesh: Mesh):
+    s = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the leading batch axis over 'dp', replicate the rest."""
+    return NamedSharding(mesh, P("dp", *([None] * (ndim - 1))))
+
+
+def _param_spec(path_names, x: np.ndarray, tp: int) -> P:
+    """Tensor-parallel spec for one parameter.
+
+    Dense/Conv kernels shard the output-channel (last) axis over 'tp' when
+    divisible; biases/norm scales replicate. This covers attention q/k/v
+    (head sharding falls out of output-channel sharding) and conv channels.
+    """
+    leaf = path_names[-1]
+    if leaf == "kernel" and x.ndim >= 2 and x.shape[-1] % tp == 0 and x.shape[-1] >= tp:
+        return P(*([None] * (x.ndim - 1)), "tp")
+    return P()
+
+
+def shard_module_params(params, mesh: Mesh):
+    """Apply tensor-parallel NamedShardings to a Flax param pytree."""
+    tp = mesh.shape["tp"]
+
+    def place(path, x):
+        names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        spec = _param_spec(names, x, tp) if tp > 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)

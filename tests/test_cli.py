@@ -1,0 +1,116 @@
+"""CLI smoke tests on the tiny model: every tool runs end-to-end and writes
+the reference-compatible artifact tree."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from audioeditingcode_tpu.utils.audio_io import write_wav
+
+
+@pytest.fixture(scope="module")
+def wav_file(tmp_path_factory):
+    sr = 16000
+    t = np.arange(sr // 2, dtype=np.float32) / sr
+    wave = 0.4 * np.sin(2 * np.pi * 330 * t)
+    p = str(tmp_path_factory.mktemp("aud") / "clip.wav")
+    write_wav(p, wave[None], sr)
+    return p
+
+
+def test_main_run_ours(wav_file, tmp_path):
+    from audioeditingcode_tpu.cli.run import main
+
+    out = main([
+        "--model_id", "test/tiny-audioldm",
+        "--init_aud", wav_file,
+        "--target_prompt", "a trumpet",
+        "--source_prompt", "a sine tone",
+        "--num_diffusion_steps", "6",
+        "--tstart", "4",
+        "--cfg_src", "3", "--cfg_tar", "6",
+        "--results_path", str(tmp_path / "results"),
+        "--seed", "0",
+    ])
+    assert os.path.exists(out)
+    d = os.path.dirname(out)
+    assert os.path.exists(os.path.join(d, "orig.wav"))
+    assert glob.glob(os.path.join(d, "*.png"))
+    assert "skip_2" in os.path.basename(out)
+
+
+def test_main_run_ddim(wav_file, tmp_path):
+    from audioeditingcode_tpu.cli.run import main
+
+    out = main([
+        "--model_id", "test/tiny-audioldm",
+        "--init_aud", wav_file,
+        "--target_prompt", "a violin",
+        "--num_diffusion_steps", "6",
+        "--tstart", "6",
+        "--mode", "ddim",
+        "--results_path", str(tmp_path / "results"),
+        "--seed", "0",
+    ])
+    assert os.path.exists(out)
+
+
+def test_sdedit(wav_file, tmp_path):
+    from audioeditingcode_tpu.cli.sdedit import main
+
+    out = main([
+        "--model_id", "test/tiny-audioldm",
+        "--init_aud", wav_file,
+        "--target_prompt", "a drum",
+        "--num_diffusion_steps", "6",
+        "--tstart", "4",
+        "--results_path", str(tmp_path / "sdedit"),
+        "--seed", "1",
+        "--wandb_disable",
+    ])
+    assert os.path.exists(out)
+
+
+def test_pc_extract_and_apply(wav_file, tmp_path):
+    from audioeditingcode_tpu.cli.pc_extract import main as extract
+    from audioeditingcode_tpu.cli.pc_apply import main as apply_main
+
+    ckpt = extract([
+        "--model_id", "test/tiny-audioldm",
+        "--init_aud", wav_file,
+        "--num_diffusion_steps", "6",
+        "--drift_start", "5", "--drift_end", "2",
+        "--iters", "8",
+        "--n_evs", "2",
+        "--results_path", str(tmp_path / "pc"),
+        "--seed", "2",
+        "--wandb_disable",
+    ])
+    assert os.path.exists(ckpt)
+
+    outs = apply_main([
+        "--extraction_path", ckpt,
+        "--drift_start", "5", "--drift_end", "2",
+        "--amount", "1.5",
+        "--evs", "1", "2",
+        "--seed", "2",
+        "--wandb_disable",
+    ])
+    for o in outs:
+        assert os.path.exists(o)
+
+    # combined evs + rand_v baseline
+    outs2 = apply_main([
+        "--extraction_path", ckpt,
+        "--drift_start", "5", "--drift_end", "2",
+        "--amount", "1.0",
+        "--evs", "1", "2",
+        "--combine_evs",
+        "--rand_v",
+        "--seed", "3",
+        "--wandb_disable",
+    ])
+    assert os.path.exists(outs2[0])
+    assert "_RAND" in outs2[0]

@@ -1,0 +1,92 @@
+"""Multi-device mesh tests on the virtual 8-device CPU mesh.
+
+SURVEY.md §4: 'mesh tests that run the same edit on 1 vs N devices and
+assert tolerance equality' — the replacement for multi-node testing
+without a real cluster.
+"""
+
+import sys
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 virtual devices")
+def test_sharded_edit_matches_single_device():
+    from audioeditingcode_tpu.models.registry import load_model
+    from audioeditingcode_tpu.editing.cfg import build_cfg_tensors
+    from audioeditingcode_tpu.editing.invert import (
+        inversion_forward_process,
+        inversion_reverse_process,
+    )
+    from audioeditingcode_tpu.parallel.mesh import make_mesh, shard_module_params
+
+    pipe = load_model("test/tiny-audioldm", num_diffusion_steps=4, latent_time=16)
+    shape = (1, 4, 16, 32)
+    w0 = jax.random.normal(jax.random.PRNGKey(0), shape)
+    uncond = pipe.encode_text([""])
+    tgt = pipe.encode_text(["x"])
+    cfg_t, _ = build_cfg_tensors(shape, ["x"], [4.0])
+    denoise = pipe.make_denoiser(uncond, tgt, cfg_t)
+
+    def edit(w0, rng):
+        _, zs, xts = inversion_forward_process(pipe.sched, denoise, w0, rng)
+        return inversion_reverse_process(pipe.sched, denoise, xts, zs[:3])
+
+    ref = np.asarray(jax.jit(edit)(w0, jax.random.PRNGKey(1)))
+
+    mesh = make_mesh(4)
+    pipe.unet_params = shard_module_params(pipe.unet_params, mesh)
+    denoise_sharded = pipe.make_denoiser(uncond, tgt, cfg_t)
+
+    def edit_sharded(w0, rng):
+        _, zs, xts = inversion_forward_process(pipe.sched, denoise_sharded, w0, rng)
+        return inversion_reverse_process(pipe.sched, denoise_sharded, xts, zs[:3])
+
+    with mesh:
+        out = np.asarray(jax.jit(edit_sharded)(w0, jax.random.PRNGKey(1)))
+
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 virtual devices")
+def test_dp_sharded_ev_batch_matches_single_device():
+    from audioeditingcode_tpu.models.registry import load_model
+    from audioeditingcode_tpu.models.text_encoders import repeat_cond
+    from audioeditingcode_tpu.editing.pc_drift import forward_directional
+    from audioeditingcode_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    pipe = load_model("test/tiny-audioldm", num_diffusion_steps=4, latent_time=16)
+    n_ev = 4
+    shape = (n_ev, 4, 16, 32)
+    xt = jax.random.normal(jax.random.PRNGKey(2), shape)
+    lat = jax.random.normal(jax.random.PRNGKey(3), shape)
+    eps_pair = pipe.make_eps_pair(
+        repeat_cond(pipe.encode_text([""]), n_ev),
+        repeat_cond(pipe.encode_text(["y"]), n_ev),
+    )
+
+    def step(xt, lat):
+        return forward_directional(pipe.sched, eps_pair, xt, jnp.asarray(1), lat, 3.0)
+
+    ref_prev, ref_x0 = jax.jit(step)(xt, lat)
+
+    mesh = make_mesh(4, dp=4, tp=1)
+    shard = batch_sharding(mesh, 4)
+    with mesh:
+        prev, x0p = jax.jit(step)(jax.device_put(xt, shard), jax.device_put(lat, shard))
+
+    np.testing.assert_allclose(np.asarray(prev), np.asarray(ref_prev), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(x0p), np.asarray(ref_x0), atol=1e-4)
