@@ -12,12 +12,19 @@ Re-design of the reference's Python-loop editing core
   inversion_utils.py:82-93 — batching them is the free 2x identified in
   SURVEY.md §6);
 - the per-prompt spatial CFG tensors and the multi-tstart mask fix
-  (inversion_utils.py:95-102, 307-315) are reproduced exactly.
+  (inversion_utils.py:95-102, 307-315) are reproduced exactly;
+- scheduler math is dispatched through the solver seam
+  (:mod:`audioeditingcode_tpu.editing.solvers`): eta-DDIM for the
+  AudioLDM/TANGO/SD families, 2nd-order SDE-DPM-Solver++ with scan-carried
+  multistep history for Stable Audio (the reference threads that history via
+  ``extra_info`` — inversion_utils.py:123-129,219).
 
 The model is abstracted as ``denoise_fn(xt, k) -> noise_pred`` where k is
-the step position in ``sched.timesteps``. Pipelines build these closures
-(models/pipeline.py) so the editing math stays model-agnostic — the JAX
-analogue of the reference's PipelineWrapper seam (SURVEY.md §1).
+the step position in ``solver.timesteps``; input preconditioning
+(scale_model_input, inversion_utils.py:79,226) happens inside the pipeline's
+denoiser closure. Pipelines build these closures (models/pipeline.py) so the
+editing math stays model-agnostic — the JAX analogue of the reference's
+PipelineWrapper seam (SURVEY.md §1).
 """
 
 from __future__ import annotations
@@ -27,12 +34,7 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..schedulers import (
-    DiffusionSchedule,
-    get_zs_from_xts,
-    reverse_step_with_custom_noise,
-    sample_xts_from_x0,
-)
+from .solvers import as_solver
 
 DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]  # (xt, k) -> eps
 
@@ -64,46 +66,60 @@ def make_cfg_denoiser(
 
 
 def inversion_forward_process(
-    sched: DiffusionSchedule,
+    sched,
     denoise_fn: DenoiseFn,
     x0: jnp.ndarray,  # (1, ...) reference NCHW latent
     rng: jax.Array,
     eta: float = 1.0,
     numerical_fix: bool = True,
     zero_first: bool = True,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Forward (inversion) pass: returns (xT, zs, xts).
+    return_extras: bool = False,
+):
+    """Forward (inversion) pass: returns (xT, zs, xts[, extras]).
 
     zs: (S, 1, ...) noise maps (zs[0] zeroed, reference inversion_utils.py:133);
     xts: (S+1, 1, ...) trajectory with xts[idx] rewritten to the
-    numerically-fixed x_{t-1} values (inversion_utils.py:121-128).
+    numerically-fixed x_{t-1} values (inversion_utils.py:121-128);
+    extras (multistep solvers, with ``return_extras=True``): (S, 1, ...) the
+    per-step solver history in zs-index order — the reference's
+    ``extra_info`` (inversion_utils.py:129), fed back to the reverse pass.
     """
-    S = sched.num_inference_steps
-    xts = sample_xts_from_x0(sched, x0, rng)  # (S+1, 1, ...)
+    solver = as_solver(sched, eta=eta, numerical_fix=numerical_fix)
+    S = solver.num_inference_steps
+    xts = solver.sample_xts(x0, rng)  # (S+1, 1, ...)
 
-    def body(xt, inputs):
+    def body(carry, inputs):
+        xt, state = carry
         k, xtm1_raw = inputs
         eps = denoise_fn(xt, k)
-        z, xtm1_fix = get_zs_from_xts(
-            sched, k, xt, xtm1_raw, eps, eta=eta, numerical_fix=numerical_fix
-        )
-        return xtm1_fix, (z, xtm1_fix)
+        state, z, xtm1_fix, extra = solver.forward_step(state, k, xt, xtm1_raw, eps)
+        outputs = (z, xtm1_fix, extra) if solver.carries_history else (z, xtm1_fix)
+        return (xtm1_fix, state), outputs
 
     ks = jnp.arange(S)
     # iteration k handles idx = S-k-1: xt_in = xts[idx+1], target = xts[idx]
     xtm1_raws = jnp.flip(xts[:S], axis=0)
     xT = xts[S]
-    x_last, (zs_k, xtm1_k) = jax.lax.scan(body, xT, (ks, xtm1_raws))
+    init = (xT, solver.init_state(x0))
+    (x_last, _), outs = jax.lax.scan(body, init, (ks, xtm1_raws))
+    if solver.carries_history:
+        zs_k, xtm1_k, extras_k = outs
+        extras = jnp.flip(extras_k, axis=0)
+    else:
+        zs_k, xtm1_k = outs
+        extras = None
 
     zs = jnp.flip(zs_k, axis=0)  # to idx order
     if zero_first:
         zs = zs.at[0].set(jnp.zeros_like(zs[0]))
     new_xts = jnp.concatenate([jnp.flip(xtm1_k, axis=0), xts[S:]], axis=0)
+    if return_extras:
+        return x_last, zs, new_xts, extras
     return x_last, zs, new_xts
 
 
 def inversion_reverse_process(
-    sched: DiffusionSchedule,
+    sched,
     denoise_fn: DenoiseFn,
     xts: jnp.ndarray,  # (>=T+1, 1, ...) trajectory from the forward pass
     zs: jnp.ndarray,  # (T, 1, ...) noise maps, T = tstart.max()
@@ -111,15 +127,22 @@ def inversion_reverse_process(
     tstart: Optional[jnp.ndarray] = None,  # (P,) int per-prompt start steps
     fix_alpha: float = 0.1,
     masks: Optional[jnp.ndarray] = None,  # (P, ...) smoothed prompt masks
+    init_history: Optional[jnp.ndarray] = None,  # multistep warm start
 ) -> jnp.ndarray:
     """Reverse (editing) pass from x_{tstart.max()} using stored noise maps.
 
     Implements the loop of inversion_utils.py:221-315 including the
     multi-tstart mask fix: prompts with smaller tstart are blended toward
     the stored trajectory until their own start step is reached.
+
+    ``init_history`` warm-starts a multistep solver with the forward pass's
+    converted model output at step k0-1 (= ``extras[T-1]`` from
+    :func:`inversion_forward_process`) — the reference's setup_extra_inputs
+    Option 2 (models.py:1180-1184).
     """
+    solver = as_solver(sched, eta=eta)
     T = zs.shape[0]
-    S = sched.num_inference_steps
+    S = solver.num_inference_steps
     xt = xts[T]
 
     multi = tstart is not None and masks is not None and masks.shape[0] > 1
@@ -132,20 +155,20 @@ def inversion_reverse_process(
         af = jnp.zeros((T, 1), dtype=xt.dtype)
         fix_targets = jnp.zeros((T,) + xt.shape, dtype=xt.dtype)
 
-    def body(xt, inputs):
+    def body(carry, inputs):
+        xt, state = carry
         it, z, af_it, fix_target = inputs
         k = S - T + it
         eps = denoise_fn(xt, k)
-        xt = reverse_step_with_custom_noise(
-            sched, k, eps, xt, variance_noise=z, eta=eta
-        )
+        state, xt = solver.reverse_step(state, k, xt, eps, z)
         if multi:
             a = af_it.reshape((-1,) + (1,) * (xt.ndim - 1))  # (P, 1, 1, 1)
             blended = masks * (xt * (1.0 - a) + a * fix_target)
             xt = jnp.sum(blended, axis=0, keepdims=True)
-        return xt, None
+        return (xt, state), None
 
     its = jnp.arange(T)
     zs_rev = jnp.flip(zs, axis=0)  # iteration order: idx = T-1 .. 0
-    xt, _ = jax.lax.scan(body, xt, (its, zs_rev, af, fix_targets))
+    init = (xt, solver.init_state(xt, init_history))
+    (xt, _), _ = jax.lax.scan(body, init, (its, zs_rev, af, fix_targets))
     return xt

@@ -1,0 +1,134 @@
+"""Solver seam: one interface the editing scans drive, two numerics behind it.
+
+The reference dispatches per-model scheduler math through PipelineWrapper
+method overrides (DDIM-family: code/models.py:67-158; Stable Audio cosine
+DPM-solver++: code/models.py:1190-1329). Here the same seam is a small
+functional protocol so that ``inversion_forward_process`` /
+``inversion_reverse_process`` stay single ``lax.scan`` programs for every
+model family:
+
+  - ``init_state(like, history)``     scan carry for multistep history
+  - ``sample_xts(x0, rng)``           independent q(x_t|x_0) trajectory
+  - ``scale_input(k, xt)``            what the denoiser network consumes
+  - ``forward_step(state, k, xt, xtm1, out)``  noise-map recovery (+fix)
+  - ``reverse_step(state, k, xt, out, z)``     custom-noise reverse update
+
+``DDIMSolver`` is stateless (empty carry, no history). ``CosineDPMSolver``
+carries the previous converted model output — the 2nd-order multistep
+history the reference threads via ``extra_info``
+(inversion_utils.py:123-129,219).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..schedulers.ddim import (
+    DiffusionSchedule,
+    get_zs_from_xts,
+    reverse_step_with_custom_noise,
+    sample_xts_from_x0,
+)
+from ..schedulers.cosine_dpm import (
+    CosineDPMSchedule,
+    SolverState,
+    init_solver_state,
+    recover_noise,
+    sample_xts_from_x0_sigma,
+    scale_model_input,
+    solver_step,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DDIMSolver:
+    """Eta-DDIM numerics (AudioLDM/AudioLDM2/TANGO/SD/CelebA-HQ families)."""
+
+    sched: DiffusionSchedule
+    eta: float = 1.0
+    numerical_fix: bool = True
+
+    carries_history: bool = False
+
+    @property
+    def num_inference_steps(self) -> int:
+        return self.sched.num_inference_steps
+
+    def init_state(self, like: jnp.ndarray, history: Optional[jnp.ndarray] = None):
+        return ()
+
+    def sample_xts(self, x0: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+        return sample_xts_from_x0(self.sched, x0, rng)
+
+    def scale_input(self, k, xt: jnp.ndarray) -> jnp.ndarray:
+        return xt
+
+    def forward_step(self, state, k, xt, xtm1_raw, model_output):
+        z, xtm1_fix = get_zs_from_xts(
+            self.sched, k, xt, xtm1_raw, model_output,
+            eta=self.eta, numerical_fix=self.numerical_fix,
+        )
+        return state, z, xtm1_fix, None
+
+    def reverse_step(self, state, k, xt, model_output, z):
+        xtm1 = reverse_step_with_custom_noise(
+            self.sched, k, model_output, xt, variance_noise=z, eta=self.eta
+        )
+        return state, xtm1
+
+
+@dataclasses.dataclass(frozen=True)
+class CosineDPMSolver:
+    """SDE-DPM-Solver++ (order 2) numerics — the Stable Audio family."""
+
+    sched: CosineDPMSchedule
+    numerical_fix: bool = True
+    first_order: bool = False  # force order 1 (reference --first_order flag)
+
+    carries_history: bool = True
+
+    @property
+    def num_inference_steps(self) -> int:
+        return self.sched.num_inference_steps
+
+    def _force_first(self, sched: CosineDPMSchedule) -> CosineDPMSchedule:
+        return sched.replace(step_first_order=jnp.ones_like(sched.step_first_order))
+
+    @property
+    def _sched(self) -> CosineDPMSchedule:
+        return self._force_first(self.sched) if self.first_order else self.sched
+
+    def init_state(self, like: jnp.ndarray, history: Optional[jnp.ndarray] = None):
+        return init_solver_state(like, history)
+
+    def sample_xts(self, x0: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+        return sample_xts_from_x0_sigma(self.sched, x0, rng)
+
+    def scale_input(self, k, xt: jnp.ndarray) -> jnp.ndarray:
+        return scale_model_input(self.sched, k, xt)
+
+    def forward_step(self, state, k, xt, xtm1_raw, model_output):
+        state, z, xtm1_fix, extra = recover_noise(
+            self._sched, state, k, xt, xtm1_raw, model_output,
+            numerical_fix=self.numerical_fix,
+        )
+        return state, z, xtm1_fix, extra
+
+    def reverse_step(self, state, k, xt, model_output, z):
+        return solver_step(self._sched, state, k, model_output, xt, z)
+
+
+Solver = Any  # DDIMSolver | CosineDPMSolver
+
+
+def as_solver(sched_or_solver, eta: float = 1.0, numerical_fix: bool = True) -> Solver:
+    """Accept a raw DiffusionSchedule (legacy call sites) or a Solver."""
+    if isinstance(sched_or_solver, DiffusionSchedule):
+        return DDIMSolver(sched_or_solver, eta=eta, numerical_fix=numerical_fix)
+    if isinstance(sched_or_solver, CosineDPMSchedule):
+        return CosineDPMSolver(sched_or_solver, numerical_fix=numerical_fix)
+    return sched_or_solver
