@@ -96,6 +96,12 @@ def main(argv=None):
     pipe = load_model(args.model_id, args.num_diffusion_steps,
                       weights_dir=args.weights_dir, dtype=dtype)
     spec = resolve_spec(args.model_id)
+    if spec.family == "stable-audio":
+        raise NotImplementedError(
+            "The Stable Audio family is supported by main_run.py (DDPM-inversion "
+            "editing); the SDEdit/PC tools require a DDIM-scheduler model, as in "
+            "the reference."
+        )
     S = args.num_diffusion_steps
 
     if args.drift_start is None:

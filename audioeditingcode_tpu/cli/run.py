@@ -43,6 +43,7 @@ MODEL_CHOICES = [
     "declare-lab/tango-full-ft-audiocaps",
     "stabilityai/stable-audio-open-1.0",
     "test/tiny-audioldm",
+    "test/tiny-stable-audio",
 ]
 
 
@@ -64,6 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cutoff_points", type=float, nargs="*", default=None)
     p.add_argument("--mode", default="ours", choices=["ours", "ddim"])
     p.add_argument("--fix_alpha", type=float, default=0.1)
+    p.add_argument("--first_order", action="store_true", default=False,
+                   help="Force the Stable Audio solver to first order")
     p.add_argument("--weights_dir", type=str, default=None,
                    help="Directory of converted Flax weights")
     p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
@@ -109,7 +112,18 @@ def main(argv=None):
         stft=(spec.family != "stable-audio"), model_sr=pipe.get_sr(),
     )
     x0 = jnp.asarray(x0)
-    w0 = pipe.vae_encode(x0)
+    stable_audio = spec.family == "stable-audio"
+    if stable_audio:
+        # duration conditioning + decode crop window (models.py:1142-1172)
+        max_s = pipe.audio_vae_length / pipe.sample_rate
+        pipe.setup_duration(0.0, min(duration, max_s))
+        if args.first_order:
+            import dataclasses as _dc
+            pipe.sched = _dc.replace(pipe.sched, first_order=True)
+        rng, enc_rng = jax.random.split(rng)
+        w0 = pipe.vae_encode(x0, rng=enc_rng)
+    else:
+        w0 = pipe.vae_encode(x0)
 
     uncond = pipe.encode_text(args.target_neg_prompt, negative=True)
     has_src = len(args.source_prompt) > 1 or args.source_prompt[0] != ""
@@ -126,6 +140,11 @@ def main(argv=None):
     )
 
     if args.mode == "ddim":
+        if stable_audio:
+            raise ValueError(
+                "--mode ddim requires a DDIM-scheduler model; Stable Audio "
+                "uses the cosine DPM solver (run --mode ours)."
+            )
         if len(args.cfg_src) > 1 or len(args.cfg_tar) > 1:
             raise ValueError("DDIM only supports one cfg scale value")
         if len(args.source_prompt) > 1 or len(args.target_prompt) > 1:
@@ -152,18 +171,35 @@ def main(argv=None):
         multi = len(args.target_prompt) > 1
         tstart_j = jnp.asarray(tstart)
 
-        @jax.jit
-        def edit(w0, rng):
-            _, zs, xts = inversion_forward_process(
-                pipe.sched, fwd_den, w0, rng, eta=args.eta,
-                numerical_fix=args.numerical_fix,
-            )
-            return inversion_reverse_process(
-                pipe.sched, rev_den, xts, zs[:T], eta=args.eta,
-                tstart=tstart_j if multi else None,
-                fix_alpha=args.fix_alpha,
-                masks=masks if multi else None,
-            )
+        if stable_audio:
+            # thread the 2nd-order solver history from the forward pass into
+            # the reverse pass (reference extra_info, inversion_utils.py:129,219)
+            @jax.jit
+            def edit(w0, rng):
+                _, zs, xts, extras = inversion_forward_process(
+                    pipe.sched, fwd_den, w0, rng, eta=args.eta,
+                    numerical_fix=args.numerical_fix, return_extras=True,
+                )
+                return inversion_reverse_process(
+                    pipe.sched, rev_den, xts, zs[:T], eta=args.eta,
+                    tstart=tstart_j if multi else None,
+                    fix_alpha=args.fix_alpha,
+                    masks=masks if multi else None,
+                    init_history=extras[T - 1],
+                )
+        else:
+            @jax.jit
+            def edit(w0, rng):
+                _, zs, xts = inversion_forward_process(
+                    pipe.sched, fwd_den, w0, rng, eta=args.eta,
+                    numerical_fix=args.numerical_fix,
+                )
+                return inversion_reverse_process(
+                    pipe.sched, rev_den, xts, zs[:T], eta=args.eta,
+                    tstart=tstart_j if multi else None,
+                    fix_alpha=args.fix_alpha,
+                    masks=masks if multi else None,
+                )
 
         w_edit = edit(w0, rng)
 
@@ -179,7 +215,12 @@ def main(argv=None):
     name = edit_image_name(args.mode, args.cfg_src, args.cfg_tar, skip,
                            args.num_diffusion_steps)
 
-    save_spectrogram_png(os.path.join(save_path, name + ".png"), np.asarray(x_dec))
+    if audio.ndim == 3:  # stable-audio waveform (B, C, T)
+        audio = audio[0]
+    if orig_audio.ndim == 3:
+        orig_audio = orig_audio[0]
+    if not stable_audio:
+        save_spectrogram_png(os.path.join(save_path, name + ".png"), np.asarray(x_dec))
     write_wav(os.path.join(save_path, name + ".wav"), audio, sr)
     write_wav(os.path.join(save_path, "orig.wav"), orig_audio, sr)
     dump_run_summary(save_path, args, {"seed": seed, "duration": duration})

@@ -62,6 +62,12 @@ def main(argv=None):
     pipe = load_model(args.model_id, args.num_diffusion_steps,
                       weights_dir=args.weights_dir, dtype=dtype)
     spec = resolve_spec(args.model_id)
+    if spec.family == "stable-audio":
+        raise NotImplementedError(
+            "The Stable Audio family is supported by main_run.py (DDPM-inversion "
+            "editing); the SDEdit/PC tools require a DDIM-scheduler model, as in "
+            "the reference."
+        )
 
     x0, sr, duration = load_audio(
         args.init_aud, pipe.mel_config,

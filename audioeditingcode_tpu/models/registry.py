@@ -71,8 +71,10 @@ def load_model(
     dtype=jnp.float32,
     seed: int = 0,
     latent_time: int = 64,
-) -> LatentAudioPipeline:
+):
     spec = resolve_spec(model_id)
+    if spec.family == "stable-audio":
+        return _load_stable_audio(spec, num_diffusion_steps, weights_dir, dtype, seed)
     sched = make_schedule(spec.scheduler, num_diffusion_steps)
 
     rngs = jax.random.split(jax.random.PRNGKey(seed), 3)
@@ -113,6 +115,120 @@ def load_model(
         sample_rate=spec.sample_rate,
         vae_pad_multiple=spec.vae.downscale_factor,
     )
+
+
+def _load_stable_audio(spec: ModelSpec, num_diffusion_steps: int,
+                       weights_dir: Optional[str], dtype, seed: int):
+    """Stable Audio family: DiT + Oobleck VAE + cosine DPM solver
+    (reference wrapper: code/models.py:1051-1354)."""
+    from ..editing.solvers import CosineDPMSolver
+    from ..schedulers.cosine_dpm import make_cosine_dpm_schedule
+    from .dit1d import StableAudioDiT, rotary_tables
+    from .oobleck import AutoencoderOobleck
+    from .pipeline1d import StableAudioPipeline
+    from .projection import StableAudioProjectionModel
+
+    solver = CosineDPMSolver(
+        make_cosine_dpm_schedule(spec.cosine_scheduler, num_diffusion_steps)
+    )
+    rngs = jax.random.split(jax.random.PRNGKey(seed), 4)
+
+    dit = StableAudioDiT(spec.dit, dtype=dtype)
+    L = spec.dit.sample_size
+    K = (spec.text_seq_len or 8) + 2  # text tokens + start/end duration embeds
+    dit_params = _load_or_init(
+        dit, rngs[0],
+        (
+            jnp.ones((1, L, spec.dit.in_channels)),
+            jnp.ones((1,)) * 0.5,
+            jnp.ones((1, K, spec.dit.cross_attention_input_dim)),
+            jnp.ones((1, 1, spec.dit.global_states_input_dim)),
+            rotary_tables(spec.dit.rotary_embed_dim, L + 1),
+        ),
+        weights_dir, "dit",
+    )
+
+    vae = AutoencoderOobleck(spec.oobleck, dtype=dtype)
+    wave = jnp.ones((1, L * spec.oobleck.hop_length, spec.oobleck.audio_channels))
+    vae_params = _load_or_init(
+        vae, rngs[1], (wave, jax.random.PRNGKey(0)), weights_dir, "oobleck"
+    )
+
+    projection = StableAudioProjectionModel(spec.projection, dtype=dtype)
+    projection_params = _init_projection_full(projection, rngs[2], spec, weights_dir)
+
+    text_encoder = NullTextEncoder(
+        hidden_dim=spec.projection.conditioning_dim,
+        seq_len=spec.text_seq_len or 8,
+    )
+    if weights_dir is not None:
+        text_encoder = _try_t5_projected(spec, weights_dir, projection,
+                                         projection_params) or text_encoder
+
+    return StableAudioPipeline(
+        model_id=spec.model_id,
+        sched=solver,
+        dit=dit,
+        dit_params=dit_params,
+        vae=vae,
+        vae_params=vae_params,
+        projection=projection,
+        projection_params=projection_params,
+        text_encoder=text_encoder,
+        sample_rate=spec.sample_rate,
+        sample_size=L,
+    )
+
+
+def _init_projection_full(projection, rng, spec: ModelSpec,
+                          weights_dir: Optional[str]):
+    """Init ALL projection submodules (text proj + both number conditioners)."""
+    params = projection.init(
+        rng,
+        jnp.ones((1, 1, spec.projection.text_encoder_dim)),
+        jnp.ones((1,)),
+        method=_projection_init_helper,
+    )
+    if weights_dir is not None:
+        path = os.path.join(weights_dir, "projection.msgpack")
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                params = serialization.from_bytes(params, f.read())
+    return params
+
+
+def _projection_init_helper(self, text_hs, secs):
+    self.project_text(text_hs)
+    self.encode_duration(secs, secs)
+    return ()
+
+
+def _try_t5_projected(spec, weights_dir, projection, projection_params):
+    """T5 encoder + learned projection when transformers-Flax weights are
+    available next to the converted checkpoint; None otherwise."""
+    try:
+        from transformers import AutoTokenizer, FlaxT5EncoderModel
+    except ImportError:
+        return None
+    t5_dir = os.path.join(weights_dir, "t5")
+    if not os.path.isdir(t5_dir):
+        return None
+    tok = AutoTokenizer.from_pretrained(t5_dir)
+    t5 = FlaxT5EncoderModel.from_pretrained(t5_dir)
+    from .text_encoders import T5TextEncoder, TextCond
+
+    base = T5TextEncoder(t5, tok, max_length=spec.text_seq_len or 128)
+
+    def encode(prompts, negative=False):
+        cond = base(prompts, negative=negative)
+        hs = cond.hidden_states
+        if negative and cond.attention_mask is not None:
+            hs = hs * cond.attention_mask[..., None].astype(hs.dtype)
+        hs = projection.apply(projection_params, hs,
+                              method=projection.project_text)
+        return TextCond(hidden_states=hs, attention_mask=cond.attention_mask)
+
+    return encode
 
 
 def _make_text_encoder(spec: ModelSpec, weights_dir: Optional[str]):
