@@ -87,11 +87,6 @@ def main(argv=None):
             r = rng.standard_normal(v.shape).astype(np.float32)
             eigdata[k]["eigvec"] = r / np.linalg.norm(r) * norm
 
-    evals_override = None
-    if args.evals_pt is not None:
-        z = np.load(args.evals_pt)
-        evals_override = {int(k): z[k] for k in z.files}
-
     # fade length in latent frames (reference :91-94)
     args.fade_length = int(args.fade_length * latents.shape[3] / 15)
 
@@ -106,8 +101,61 @@ def main(argv=None):
     cfg_tar = float(getattr(ex_args, "cfg_tar_scalar", np.atleast_1d(ex_args.cfg_tar)[0]))
     eta = float(ex_args.eta)
 
+    xt = run_pc_application(args, pipe, ex_args, eigdata, latents, xts, cfg_tar, eta)
+
+    drifts_path = args.extraction_path + "_driftgens"
+    os.makedirs(drifts_path, exist_ok=True)
+
+    x_dec = jnp.concatenate(
+        [pipe.vae_decode(xt[i: i + 1]) for i in range(xt.shape[0])], axis=0
+    )
+    audio = np.asarray(pipe.decode_to_mel(x_dec))
+
+    def out_name(prefix):
+        return (
+            f"{prefix}_drift{args.drift_start}-{args.drift_end}"
+            f'{"_spts" + str(args.use_specific_ts_pc) if args.use_specific_ts_pc is not None else ""}'
+            f"_it{ex_args.iters if args.sub_iters is None else args.sub_iters}"
+            f"_shiftednp{args.shift_x0_for_np}"
+            f'{"_fade" + str(args.fade_length) if args.fade_length > 0 else ""}'
+            f'{f"_fix{args.fix_alpha}" if args.fix_alpha is not None else ""}'
+            f'{"_avgeval" if args.evals_pt is not None else ""}'
+            f'{"_RAND" if args.rand_v else ""}'
+            f"_a{args.amount}.wav"
+        )
+
+    outputs = []
+    if args.combine_evs:
+        name = out_name(f'pcs{"".join(str(x) for x in args.evs)}')
+        write_wav(os.path.join(drifts_path, name), audio[0:1], pipe.get_sr())
+        outputs.append(os.path.join(drifts_path, name))
+    else:
+        for ev_idx, ev_num in enumerate(args.evs):
+            name = out_name(f"pc{ev_num}")
+            write_wav(os.path.join(drifts_path, name),
+                      audio[min(ev_idx, audio.shape[0] - 1)][None], pipe.get_sr())
+            outputs.append(os.path.join(drifts_path, name))
+
+    save_spectrogram_png(os.path.join(drifts_path, "drift_spec.png"), np.asarray(x_dec))
+    dump_run_summary(drifts_path, args, {"seed": seed})
+    for o in outputs:
+        print(f"[+] saved {o}")
+    wandb.finish()
+    return outputs
+
+
+def run_pc_application(args, pipe, ex_args, eigdata, latents, xts, cfg_tar, eta):
+    """Shared drift-application driver (audio + image CLIs): re-run the
+    deterministic trajectory and apply PC drift inside the window.
+    Returns the final latent batch (one row per ev, or one if combined)."""
+    S = int(ex_args.num_diffusion_steps)
     uncond = pipe.encode_text(list(ex_args.target_neg_prompt), negative=True)
     text = pipe.encode_text(list(ex_args.source_prompt))
+
+    evals_override = None
+    if args.evals_pt is not None:
+        z = np.load(args.evals_pt)
+        evals_override = {int(k): z[k] for k in z.files}
 
     # mask + fade (reference :107-118)
     mask = None
@@ -195,46 +243,7 @@ def main(argv=None):
                     args.fix_alpha * parallel_xt + (1 - args.fix_alpha) * xt_m1
                 )
         xt = xt_m1
-
-    drifts_path = args.extraction_path + "_driftgens"
-    os.makedirs(drifts_path, exist_ok=True)
-
-    x_dec = jnp.concatenate(
-        [pipe.vae_decode(xt[i: i + 1]) for i in range(xt.shape[0])], axis=0
-    )
-    audio = np.asarray(pipe.decode_to_mel(x_dec))
-
-    def out_name(prefix):
-        return (
-            f"{prefix}_drift{args.drift_start}-{args.drift_end}"
-            f'{"_spts" + str(args.use_specific_ts_pc) if args.use_specific_ts_pc is not None else ""}'
-            f"_it{ex_args.iters if args.sub_iters is None else args.sub_iters}"
-            f"_shiftednp{args.shift_x0_for_np}"
-            f'{"_fade" + str(args.fade_length) if args.fade_length > 0 else ""}'
-            f'{f"_fix{args.fix_alpha}" if args.fix_alpha is not None else ""}'
-            f'{"_avgeval" if args.evals_pt is not None else ""}'
-            f'{"_RAND" if args.rand_v else ""}'
-            f"_a{args.amount}.wav"
-        )
-
-    outputs = []
-    if args.combine_evs:
-        name = out_name(f'pcs{"".join(str(x) for x in args.evs)}')
-        write_wav(os.path.join(drifts_path, name), audio[0:1], pipe.get_sr())
-        outputs.append(os.path.join(drifts_path, name))
-    else:
-        for ev_idx, ev_num in enumerate(args.evs):
-            name = out_name(f"pc{ev_num}")
-            write_wav(os.path.join(drifts_path, name),
-                      audio[min(ev_idx, audio.shape[0] - 1)][None], pipe.get_sr())
-            outputs.append(os.path.join(drifts_path, name))
-
-    save_spectrogram_png(os.path.join(drifts_path, "drift_spec.png"), np.asarray(x_dec))
-    dump_run_summary(drifts_path, args, {"seed": seed})
-    for o in outputs:
-        print(f"[+] saved {o}")
-    wandb.finish()
-    return outputs
+    return xt
 
 
 if __name__ == "__main__":

@@ -116,6 +116,42 @@ def main(argv=None):
     x0 = jnp.asarray(x0)
     w0 = pipe.vae_encode(x0)
 
+    save_path = os.path.join(
+        args.results_path,
+        args.model_id.split("/")[1] if "/" in args.model_id else args.model_id,
+        os.path.basename(args.init_aud).split(".")[0],
+        "pmt_" + "__".join(x.replace(" ", "_") for x in args.source_prompt)
+        + "__neg__" + "__".join(x.replace(" ", "_") for x in args.target_neg_prompt),
+    )
+    os.makedirs(save_path, exist_ok=True)
+
+    ckpt_path, xt = run_pc_extraction(
+        args, pipe, w0, rng, cfg_tar, save_path, image_name, seed
+    )
+
+    # final decode of the (drift-free) trajectory end
+    x_dec = pipe.vae_decode(xt)
+    audio = np.asarray(pipe.decode_to_mel(x_dec))
+    orig_audio = np.asarray(pipe.decode_to_mel(x0))
+    save_spectrogram_png(os.path.join(save_path, image_name + ".png"), np.asarray(x_dec))
+    write_wav(os.path.join(save_path, image_name + ".wav"), audio, sr)
+    write_wav(os.path.join(save_path, "orig.wav"), orig_audio, sr)
+    dump_run_summary(save_path, args, {"seed": seed})
+    print(f"[+] extraction saved to {ckpt_path}")
+    wandb.finish()
+    return ckpt_path
+
+
+def run_pc_extraction(args, pipe, w0, rng, cfg_tar, save_path, image_name, seed):
+    """Shared PC-extraction driver: edit-friendly inversion, per-timestep
+    power iteration in the drift window, incremental npz checkpoints.
+
+    Used by both the audio CLI (main_pc_extract_inv.py parity) and the image
+    CLI (images_pc_extract_inv.py parity). Returns (ckpt_path, final xt)."""
+    S = args.num_diffusion_steps
+    drift_start_it = S - args.drift_start
+    drift_end_it = S - args.drift_end
+
     uncond = pipe.encode_text(args.target_neg_prompt, negative=True)
     has_src = len(args.source_prompt) > 1 or args.source_prompt[0] != ""
     src = pipe.encode_text(args.source_prompt) if has_src else None
@@ -139,7 +175,11 @@ def main(argv=None):
 
     mask = np.zeros(w0.shape, dtype=np.float32)  # (1, C, H, W)
     if args.patch is not None:
-        mask[:, :, args.patch[0]: args.patch[1], :] = 1
+        if len(args.patch) == 4:  # image CLI: (top, bottom, left, right)
+            mask[:, :, args.patch[0]: args.patch[1],
+                 args.patch[2]: args.patch[3]] = 1
+        else:  # audio CLI: time-axis patch (reference main_pc_extract_inv)
+            mask[:, :, args.patch[0]: args.patch[1], :] = 1
     else:
         mask[...] = 1
     mask_j = jnp.asarray(mask)
@@ -166,14 +206,6 @@ def main(argv=None):
             iters=args.iters, eta=args.eta, n_ev=n_ev,
         )
 
-    save_path = os.path.join(
-        args.results_path,
-        args.model_id.split("/")[1] if "/" in args.model_id else args.model_id,
-        os.path.basename(args.init_aud).split(".")[0],
-        "pmt_" + "__".join(x.replace(" ", "_") for x in args.source_prompt)
-        + "__neg__" + "__".join(x.replace(" ", "_") for x in args.target_neg_prompt),
-    )
-    os.makedirs(save_path, exist_ok=True)
     ckpt_path = os.path.join(save_path, image_name + ".npz")
 
     xt = latents[0]
@@ -236,18 +268,7 @@ def main(argv=None):
         if it % 10 == 0:
             _save()
     _save()
-
-    # final decode of the (drift-free) trajectory end
-    x_dec = pipe.vae_decode(xt)
-    audio = np.asarray(pipe.decode_to_mel(x_dec))
-    orig_audio = np.asarray(pipe.decode_to_mel(x0))
-    save_spectrogram_png(os.path.join(save_path, image_name + ".png"), np.asarray(x_dec))
-    write_wav(os.path.join(save_path, image_name + ".wav"), audio, sr)
-    write_wav(os.path.join(save_path, "orig.wav"), orig_audio, sr)
-    dump_run_summary(save_path, args, {"seed": seed})
-    print(f"[+] extraction saved to {ckpt_path}")
-    wandb.finish()
-    return ckpt_path
+    return ckpt_path, xt
 
 
 if __name__ == "__main__":

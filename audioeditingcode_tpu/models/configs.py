@@ -272,6 +272,41 @@ MODEL_SPECS = {
             text_encoder_dim=32, conditioning_dim=32, internal_dim=16
         ),
     ),
+    "test/tiny-sd": ModelSpec(
+        model_id="test/tiny-sd", family="stable-diffusion",
+        unet=UNet2DConditionConfig(
+            in_channels=4, out_channels=4,
+            down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+            up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+            block_out_channels=(32, 64), layers_per_block=1, norm_num_groups=8,
+            cross_attention_dim=32, num_attention_heads=4,
+        ),
+        vae=AutoencoderKLConfig(
+            in_channels=3, out_channels=3, latent_channels=4,
+            block_out_channels=(16, 32), layers_per_block=1, norm_num_groups=8,
+            scaling_factor=0.18215,
+        ),
+        vocoder=None, scheduler=_SD_SCHED, mel=None,
+        text_encoder="clip", text_embed_dim=32, text_seq_len=8,
+        recommended_steps=10,
+    ),
+    "test/tiny-celebahq": ModelSpec(
+        model_id="test/tiny-celebahq", family="celebahq",
+        unet=UNet2DConditionConfig(
+            in_channels=3, out_channels=3,
+            down_block_types=("DownBlock2D", "DownBlock2D"),
+            up_block_types=("UpBlock2D", "UpBlock2D"),
+            block_out_channels=(32, 64), layers_per_block=1, norm_num_groups=8,
+            cross_attention_dim=None, num_attention_heads=4, mid_block_type=None,
+        ),
+        vae=AutoencoderKLConfig(
+            in_channels=3, out_channels=3, latent_channels=3,
+            block_out_channels=(16, 32), layers_per_block=1, norm_num_groups=8,
+            scaling_factor=1.0,
+        ),
+        vocoder=None, scheduler=_AUDIOLDM_SCHED, mel=None,
+        text_encoder="none", recommended_steps=10,
+    ),
     "test/tiny-audioldm": ModelSpec(
         model_id="test/tiny-audioldm", family="audioldm",
         unet=TINY_UNET,
