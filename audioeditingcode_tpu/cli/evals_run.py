@@ -1,0 +1,83 @@
+"""Evaluation runner CLI.
+
+Script form of the reference's evaluation notebooks (evals/SupEval.ipynb —
+windowed CLAP/LPAPS sweep tables; evals/UnsupEval.ipynb — FAD of generation
+directories against originals / an external reference set). Emits tidy CSVs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Compute CLAP/LPAPS/FAD scores")
+    p.add_argument("--ours_dirs", type=str, nargs="*", default=[],
+                   help="result roots at the <model> level (cli/run.py layout)")
+    p.add_argument("--sdedit_dirs", type=str, nargs="*", default=[])
+    p.add_argument("--ddim_dirs", type=str, nargs="*", default=[])
+    p.add_argument("--inputs_orig", type=str, default=None,
+                   help="directory of original input wavs (else sibling orig.wav)")
+    p.add_argument("--fad_gen_dir", type=str, default=None,
+                   help="generation dir for FAD")
+    p.add_argument("--fad_ref_dirs", type=str, nargs="*", default=[],
+                   help="reference dirs for FAD (e.g. originals, FMA-pop)")
+    p.add_argument("--clap_model", type=str, default=None,
+                   help="HF id/path of a CLAP checkpoint (oracle features); "
+                        "omit for the weight-free mel extractor")
+    p.add_argument("--prev_pt", type=str, default=None,
+                   help="scores checkpoint (resume support)")
+    p.add_argument("--win_length", type=float, default=None)
+    p.add_argument("--overlap", type=float, default=0.1)
+    p.add_argument("--method", type=str, default="mean",
+                   choices=["mean", "median", "max", "min"])
+    p.add_argument("--out_dir", type=str, default="eval_scores")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ..evals import FADScorer, calc_scores, combine_scores
+    from ..evals.features import default_extractor
+
+    extractor = default_extractor(args.clap_model)
+    os.makedirs(args.out_dir, exist_ok=True)
+    outputs = []
+
+    if args.ours_dirs or args.sdedit_dirs or args.ddim_dirs:
+        state = calc_scores(
+            extractor,
+            ours_dirs=args.ours_dirs,
+            sdedit_dirs=args.sdedit_dirs,
+            ddim_dirs=args.ddim_dirs,
+            inputs_orig=args.inputs_orig,
+            prev_pt=args.prev_pt,
+            win_length=args.win_length,
+            overlap=args.overlap,
+            method=args.method,
+        )
+        for name, df in combine_scores(state).items():
+            out = os.path.join(args.out_dir, f"scores_{name}.csv")
+            df.to_csv(out, index=False)
+            outputs.append(out)
+            print(f"[+] wrote {out} ({len(df)} rows)")
+
+    if args.fad_gen_dir:
+        import json
+
+        scorer = FADScorer(extractor, window_size_s=args.win_length or 10.0,
+                           overlap=args.overlap)
+        fads = {ref: scorer.score_dirs(args.fad_gen_dir, ref)
+                for ref in args.fad_ref_dirs}
+        out = os.path.join(args.out_dir, "fad.json")
+        with open(out, "w") as f:
+            json.dump(fads, f, indent=2)
+        outputs.append(out)
+        print(f"[+] wrote {out}: {fads}")
+
+    return outputs
+
+
+if __name__ == "__main__":
+    main()

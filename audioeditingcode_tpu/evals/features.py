@@ -1,0 +1,152 @@
+"""Pluggable audio/text feature extractors for the eval tower.
+
+The reference binds its metrics to LAION-CLAP's HTSAT audio tower
+(evals/pretrained_networks.py:12-168 — mel frontend, 4 swin stages, embed
+head). Here the extractor is a protocol so metrics are network-agnostic:
+
+  stages(aud, sr)  -> list of (1, C_i, H_i, W_i)-like stage features (LPAPS)
+  embed_audio(...) -> (D,) audio embedding          (CLAP consistency, FAD)
+  embed_text(...)  -> (N, D) text embeddings        (CLAP consistency)
+
+``TransformersClapExtractor`` is the oracle (torch-CPU CLAP from the
+``transformers`` package; weights via local path or HF id).
+``MelStageExtractor`` is a weight-free, deterministic JAX stand-in with the
+same interface for offline tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..ops.stft import MelConfig, mel_spectrogram
+from ..utils.audio_io import resample
+
+
+class MelStageExtractor:
+    """Weight-free extractor: log-mel pyramid stages + pooled-stats embeds.
+
+    Deterministic, no checkpoints needed — stands in for CLAP wherever the
+    metric *machinery* (windowing, normalization, aggregation, checkpoints)
+    is under test. NOT a perceptual model.
+    """
+
+    sample_rate = 48000
+    embed_dim = 64
+
+    def __init__(self, n_mels: int = 64):
+        self.config = MelConfig(
+            filter_length=1024, hop_length=480, win_length=1024,
+            n_mel_channels=n_mels, sampling_rate=self.sample_rate,
+            mel_fmin=0.0, mel_fmax=24000.0,
+        )
+
+    def _mel(self, aud: np.ndarray, sr: int) -> np.ndarray:
+        import jax.numpy as jnp
+
+        aud = np.atleast_2d(np.asarray(aud, np.float32))
+        if aud.shape[0] > 1:
+            aud = aud.mean(axis=0, keepdims=True)
+        aud = resample(aud, sr, self.sample_rate)
+        log_mel, _, _ = mel_spectrogram(jnp.asarray(aud), self.config)
+        return np.asarray(log_mel)  # (1, n_mels, T)
+
+    def stages(self, aud: np.ndarray, sr: int) -> List[np.ndarray]:
+        m = self._mel(aud, sr)[:, None]  # (1, 1, n_mels, T)
+        stages = []
+        for _ in range(4):
+            stages.append(m)
+            if m.shape[-1] >= 2 and m.shape[-2] >= 2:
+                m = m[..., : m.shape[-2] // 2 * 2, : m.shape[-1] // 2 * 2]
+                m = 0.25 * (m[..., ::2, ::2] + m[..., 1::2, ::2]
+                            + m[..., ::2, 1::2] + m[..., 1::2, 1::2])
+        return stages
+
+    def embed_audio(self, aud: np.ndarray, sr: int) -> np.ndarray:
+        m = self._mel(aud, sr)[0]  # (n_mels, T)
+        feats = np.concatenate([m.mean(axis=1), m.std(axis=1) + 1e-6])[: self.embed_dim * 2]
+        v = feats[: self.embed_dim] / (np.linalg.norm(feats[: self.embed_dim]) + 1e-8)
+        return v.astype(np.float32)
+
+    def embed_text(self, texts: Sequence[str]) -> np.ndarray:
+        out = []
+        for t in texts:
+            seed = int.from_bytes(hashlib.sha256(t.encode()).digest()[:4], "little")
+            v = np.random.default_rng(seed).standard_normal(self.embed_dim)
+            out.append(v / np.linalg.norm(v))
+        return np.stack(out).astype(np.float32)
+
+
+class TransformersClapExtractor:
+    """Oracle extractor on torch-CPU CLAP (transformers ClapModel).
+
+    Mirrors the reference's CLAP usage: 48 kHz mono input
+    (evals/meta_clap_consistency.py:64-69 convert_audio), audio-tower stage
+    features for LPAPS (evals/pretrained_networks.py:114-127), pooled
+    projected embeddings for consistency/FAD.
+    """
+
+    sample_rate = 48000
+
+    def __init__(self, model_name_or_path: str = "laion/clap-htsat-unfused",
+                 local_files_only: bool = True):
+        import torch
+        from transformers import AutoProcessor, ClapModel
+
+        self.torch = torch
+        self.model = ClapModel.from_pretrained(
+            model_name_or_path, local_files_only=local_files_only
+        ).eval()
+        self.processor = AutoProcessor.from_pretrained(
+            model_name_or_path, local_files_only=local_files_only
+        )
+        self.embed_dim = self.model.config.projection_dim
+
+    def _prep(self, aud: np.ndarray, sr: int):
+        aud = np.atleast_2d(np.asarray(aud, np.float32))
+        if aud.shape[0] > 1:
+            aud = aud.mean(axis=0, keepdims=True)
+        aud = resample(aud, sr, self.sample_rate)[0]
+        return self.processor(
+            audios=aud, sampling_rate=self.sample_rate, return_tensors="pt"
+        )
+
+    def stages(self, aud: np.ndarray, sr: int) -> List[np.ndarray]:
+        inputs = self._prep(aud, sr)
+        with self.torch.no_grad():
+            out = self.model.audio_model(
+                inputs["input_features"], output_hidden_states=True
+            )
+        # swin stage outputs (reference uses stages 1-4 of HTSAT,
+        # pretrained_networks.py:114-127)
+        hs = out.hidden_states if out.hidden_states is not None else [out.last_hidden_state]
+        return [h.numpy() for h in hs[-4:]]
+
+    def embed_audio(self, aud: np.ndarray, sr: int) -> np.ndarray:
+        inputs = self._prep(aud, sr)
+        with self.torch.no_grad():
+            emb = self.model.get_audio_features(**inputs)
+        v = emb[0].numpy()
+        return (v / (np.linalg.norm(v) + 1e-8)).astype(np.float32)
+
+    def embed_text(self, texts: Sequence[str]) -> np.ndarray:
+        from transformers import AutoTokenizer
+
+        with self.torch.no_grad():
+            toks = self.processor(text=list(texts), return_tensors="pt", padding=True)
+            emb = self.model.get_text_features(**toks).numpy()
+        return (emb / (np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)).astype(
+            np.float32
+        )
+
+
+def default_extractor(model_name_or_path: Optional[str] = None):
+    """CLAP oracle if weights are reachable, MelStageExtractor otherwise."""
+    if model_name_or_path is not None:
+        try:
+            return TransformersClapExtractor(model_name_or_path)
+        except Exception as e:  # missing weights / offline
+            print(f"[evals] CLAP unavailable ({e}); using MelStageExtractor")
+    return MelStageExtractor()

@@ -1,0 +1,153 @@
+"""Eval tower tests: windowing, LPAPS, CLAP consistency, FAD, orchestration.
+
+(reference semantics: evals/lpaps.py, evals/meta_clap_consistency.py,
+evals/fadtk_utils.py, evals/utils.py.)
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from audioeditingcode_tpu.evals import (
+    CLAPTextConsistencyMetric,
+    FADScorer,
+    LPAPS,
+    MelStageExtractor,
+    ScoreState,
+    calc_scores,
+    combine_scores,
+    frechet_distance,
+    lpaps_distance,
+    split_to_overlapping_windows,
+)
+
+
+def tone(freq, seconds=2.0, sr=16000):
+    t = np.arange(int(seconds * sr), dtype=np.float32) / sr
+    return (0.4 * np.sin(2 * np.pi * freq * t))[None, :]
+
+
+@pytest.fixture(scope="module")
+def ext():
+    return MelStageExtractor()
+
+
+class TestWindows:
+    def test_split_counts_and_stride(self):
+        aud = np.zeros((1, 16000 * 25))
+        wins = split_to_overlapping_windows(aud, 16000, 10.0, 0.1)
+        # stride = 9 s -> starts at 0, 9, 18 s
+        assert len(wins) == 3
+        assert wins[0].shape[-1] == 160000
+        assert wins[-1].shape[-1] == 16000 * 25 - 2 * 144000
+
+    def test_short_audio_single_window(self):
+        wins = split_to_overlapping_windows(np.zeros((1, 8000)), 16000)
+        assert len(wins) == 1
+
+
+class TestLPAPS:
+    def test_identity_is_zero(self, ext):
+        a = tone(440)
+        m = LPAPS(ext)
+        assert m(a, a, 16000, 16000) == pytest.approx(0.0, abs=1e-9)
+
+    def test_symmetry_and_positive(self, ext):
+        a, b = tone(440), tone(1760)
+        m = LPAPS(ext)
+        d_ab = m(a, b, 16000, 16000)
+        d_ba = m(b, a, 16000, 16000)
+        assert d_ab > 0
+        assert d_ab == pytest.approx(d_ba, rel=1e-6)
+
+    def test_normalization_invariance(self):
+        # scaling a stage's features uniformly must not change the distance
+        s1 = [np.random.RandomState(0).rand(1, 4, 8, 8)]
+        s2 = [np.random.RandomState(1).rand(1, 4, 8, 8)]
+        d1 = lpaps_distance(s1, s2, channel_axis=1)
+        d2 = lpaps_distance([s1[0] * 7.0], [s2[0] * 0.3], channel_axis=1)
+        assert d1 == pytest.approx(d2, rel=1e-6)
+
+    def test_windowed(self, ext):
+        a, b = tone(440, 12.0), tone(880, 12.0)
+        m = LPAPS(ext)
+        assert m.windowed(a[0], b[0], 16000, 16000) > 0
+
+
+class TestClapConsistency:
+    def test_update_compute_reset(self, ext):
+        m = CLAPTextConsistencyMetric(ext)
+        m.update(tone(440), ["a sine tone"], 16000)
+        v1 = m.compute()
+        assert -1.0 <= v1 <= 1.0
+        m.reset()
+        with pytest.raises(RuntimeError):
+            m.compute()
+
+    def test_windowed_deterministic(self, ext):
+        m = CLAPTextConsistencyMetric(ext)
+        s1 = m.windowed(tone(440, 12.0)[0], 16000, "a tone")
+        s2 = m.windowed(tone(440, 12.0)[0], 16000, "a tone")
+        assert s1 == pytest.approx(s2)
+
+
+class TestFAD:
+    def test_identical_sets_zero(self):
+        e = np.random.RandomState(0).randn(64, 8)
+        assert frechet_distance(e, e.copy()) == pytest.approx(0.0, abs=1e-6)
+
+    def test_shifted_sets_positive(self):
+        rng = np.random.RandomState(0)
+        a = rng.randn(128, 8)
+        b = rng.randn(128, 8) + 3.0
+        d = frechet_distance(a, b)
+        assert d == pytest.approx(8 * 9.0, rel=0.2)  # |mu diff|^2 dominates
+
+    def test_scorer_caching(self, ext, tmp_path):
+        from scipy.io import wavfile
+
+        gen, ref = tmp_path / "gen", tmp_path / "ref"
+        gen.mkdir(), ref.mkdir()
+        for d, freq in ((gen, 440), (ref, 450)):
+            for i in range(2):
+                wavfile.write(d / f"{i}.wav", 16000,
+                              (tone(freq + i, 11.0)[0] * 32767).astype(np.int16))
+        scorer = FADScorer(ext)
+        d1 = scorer.score_dirs(str(gen), str(ref))
+        assert os.path.exists(gen / "0.wav.emb.npy")  # cache written
+        d2 = scorer.score_dirs(str(gen), str(ref))  # from cache
+        assert d1 == pytest.approx(d2)
+        assert d1 >= 0
+
+
+class TestOrchestration:
+    def _make_results(self, root):
+        from scipy.io import wavfile
+
+        inner = root / "model" / "clip" / "src_piano" / "dec_a_trumpet__neg__"
+        inner.mkdir(parents=True)
+        wavfile.write(inner / "cfg_e_3.0_cfg_d_12.0_skip_100_123.wav", 16000,
+                      (tone(440, 11.0)[0] * 32767).astype(np.int16))
+        wavfile.write(inner / "orig.wav", 16000,
+                      (tone(445, 11.0)[0] * 32767).astype(np.int16))
+        return root / "model"
+
+    def test_calc_and_combine(self, ext, tmp_path):
+        ours_root = self._make_results(tmp_path)
+        ckpt = str(tmp_path / "scores.json")
+        state = calc_scores(ext, ours_dirs=[str(ours_root)], prev_pt=ckpt,
+                            verbose=False)
+        assert len(state.records) == 1
+        rec = next(iter(state.records.values()))
+        assert rec.skip == 100 and rec.tarcfg == 12.0 and rec.srccfg == 3.0
+        assert rec.target_prompt == "a trumpet"
+        assert rec.clap is not None and rec.lpaps is not None
+
+        # resume path: no recompute, same records
+        state2 = calc_scores(ext, ours_dirs=[str(ours_root)], prev_pt=ckpt,
+                             verbose=False)
+        assert state2.records.keys() == state.records.keys()
+
+        dfs = combine_scores(state)
+        assert "ours" in dfs and len(dfs["ours"]) == 1
