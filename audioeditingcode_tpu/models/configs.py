@@ -272,6 +272,22 @@ MODEL_SPECS = {
             text_encoder_dim=32, conditioning_dim=32, internal_dim=16
         ),
     ),
+    "test/tiny-audioldm2": ModelSpec(
+        model_id="test/tiny-audioldm2", family="audioldm2",
+        unet=UNet2DConditionConfig(
+            in_channels=4, out_channels=4,
+            down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+            up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+            block_out_channels=(32, 64), layers_per_block=1, norm_num_groups=8,
+            cross_attention_dim=24, double_cross_attention=True,
+            cross_attention_dim_1=40, num_attention_heads=4,
+            use_linear_projection=True,
+        ),
+        vae=TINY_VAE, vocoder=TINY_HIFIGAN,
+        scheduler=_AUDIOLDM_SCHED, mel=_MEL_16K,
+        text_encoder="null", text_embed_dim=24, text_seq_len=6,
+        recommended_steps=8,
+    ),
     "test/tiny-sd": ModelSpec(
         model_id="test/tiny-sd", family="stable-diffusion",
         unet=UNet2DConditionConfig(

@@ -51,12 +51,11 @@ def _dummy_cond_args(spec: ModelSpec):
     """Representative conditioning tensors for module init."""
     u = spec.unet
     hs = cls = hs1 = None
-    if u.cross_attention_dim is not None or "CrossAttn" in u.down_block_types[0]:
-        dim = u.cross_attention_dim or spec.text_embed_dim
-        if spec.family == "audioldm" or spec.text_encoder in ("clap", "null"):
-            hs = None
-        else:
-            hs = jnp.ones((1, max(spec.text_seq_len, 1), dim))
+    if u.cross_attention_dim is not None:
+        # any family with a real cross-attention stream (AudioLDM2 uses the
+        # 8 GPT-2-generated tokens; TANGO/SD use the text sequence)
+        seq = 8 if spec.family == "audioldm2" else max(spec.text_seq_len, 1)
+        hs = jnp.ones((1, seq, u.cross_attention_dim))
     if u.class_embed_type == "simple_projection":
         cls = jnp.ones((1, u.projection_class_embeddings_input_dim))
     if u.double_cross_attention:
@@ -241,6 +240,10 @@ def _make_text_encoder(spec: ModelSpec, weights_dir: Optional[str]):
             class_dim=unet.projection_class_embeddings_input_dim,
         )
     if spec.family == "audioldm2":
+        if weights_dir is not None:
+            chain = _try_audioldm2_chain(spec, weights_dir)
+            if chain is not None:
+                return chain
         return NullTextEncoder(
             hidden_dim=unet.cross_attention_dim, seq_len=8,
             hidden_dim_1=unet.cross_attention_dim_1, seq_len_1=spec.text_seq_len or 8,
@@ -253,6 +256,79 @@ def _make_text_encoder(spec: ModelSpec, weights_dir: Optional[str]):
         return NullTextEncoder()
     # tiny/test
     return NullTextEncoder(class_dim=unet.projection_class_embeddings_input_dim)
+
+
+def _try_audioldm2_chain(spec: ModelSpec, weights_dir: str):
+    """Full CLAP+T5+GPT2 conditioning chain from a converted checkpoint dir
+    (reference: code/models.py:599-677). Layout expected from
+    tools/convert_checkpoint.py:
+
+      <weights_dir>/clap_text/   transformers-Flax RoBERTa + projection
+      <weights_dir>/t5/          transformers-Flax T5 encoder + tokenizer
+      <weights_dir>/gpt2.msgpack, projection_lm.msgpack
+
+    Returns None (falling back to NullTextEncoder) when anything is missing.
+    """
+    from .audioldm2_cond import (
+        AudioLDM2ProjectionConfig,
+        AudioLDM2ProjectionModel,
+        AudioLDM2TextEncoder,
+        GPT2Config,
+        GPT2Model,
+    )
+
+    gpt2_path = os.path.join(weights_dir, "gpt2.msgpack")
+    proj_path = os.path.join(weights_dir, "projection_lm.msgpack")
+    t5_dir = os.path.join(weights_dir, "t5")
+    clap_dir = os.path.join(weights_dir, "clap_text")
+    if not all(os.path.exists(p) for p in (gpt2_path, proj_path, t5_dir, clap_dir)):
+        return None
+    try:
+        from transformers import AutoTokenizer, FlaxRobertaModel, FlaxT5EncoderModel
+    except ImportError:
+        return None
+
+    roberta = FlaxRobertaModel.from_pretrained(clap_dir)
+    clap_tok = AutoTokenizer.from_pretrained(clap_dir)
+    clap_proj = np.load(os.path.join(clap_dir, "text_projection.npz"))
+    t5 = FlaxT5EncoderModel.from_pretrained(t5_dir)
+    t5_tok = AutoTokenizer.from_pretrained(t5_dir)
+
+    def clap_text_features(prompts):
+        toks = clap_tok(prompts, padding="max_length",
+                        max_length=clap_tok.model_max_length,
+                        truncation=True, return_tensors="np")
+        out = roberta(input_ids=toks["input_ids"],
+                      attention_mask=toks["attention_mask"])
+        pooled = out.last_hidden_state[:, 0]
+        h = jnp.maximum(pooled @ clap_proj["w1"].T + clap_proj["b1"], 0.0)
+        emb = h @ clap_proj["w2"].T + clap_proj["b2"]
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        return emb, jnp.asarray(toks["attention_mask"])
+
+    def t5_features(prompts):
+        toks = t5_tok(prompts, padding=True, truncation=True,
+                      max_length=t5_tok.model_max_length, return_tensors="np")
+        out = t5(input_ids=toks["input_ids"], attention_mask=toks["attention_mask"])
+        return out.last_hidden_state, jnp.asarray(toks["attention_mask"])
+
+    gpt2 = GPT2Model(GPT2Config())
+    g_init = gpt2.init(jax.random.PRNGKey(0), jnp.ones((1, 4, 768)), jnp.ones((1, 4)))
+    with open(gpt2_path, "rb") as f:
+        gpt2_params = serialization.from_bytes(g_init, f.read())
+
+    projection = AudioLDM2ProjectionModel(AudioLDM2ProjectionConfig())
+    p_init = projection.init(jax.random.PRNGKey(0), jnp.ones((1, 1, 512)),
+                             jnp.ones((1, 4, 1024)))
+    with open(proj_path, "rb") as f:
+        projection_params = serialization.from_bytes(p_init, f.read())
+
+    from .audioldm2_cond import AudioLDM2TextEncoder
+
+    return AudioLDM2TextEncoder(
+        clap_text_features, t5_features, projection, projection_params,
+        gpt2, gpt2_params,
+    )
 
 
 def save_params(params, path: str) -> None:
