@@ -64,7 +64,8 @@ def _flax_flat_index(flax_params) -> Dict[str, Tuple[Tuple[str, ...], tuple]]:
 
 
 def convert_tensor(
-    t: np.ndarray, leaf: str, target_leaf: str, target_shape: tuple, is_transpose_conv: bool
+    t: np.ndarray, leaf: str, target_leaf: str, target_shape: tuple,
+    is_transpose_conv: bool, transpose_conv_rule: str = "flip_k_in_out",
 ) -> np.ndarray:
     t = np.asarray(t)
     if leaf in ("weight",):
@@ -74,7 +75,13 @@ def convert_tensor(
             return t.T
         if t.ndim == 3:  # Conv1d / ConvTranspose1d
             if is_transpose_conv:
-                # torch ConvT1d weight (in, out, k): flip taps, to (k, in, out)
+                if transpose_conv_rule == "flax_transpose_kernel":
+                    # flax nn.ConvTranspose(transpose_kernel=True):
+                    # torch (in, out, k) -> (k, out, in), no tap flip
+                    # (empirically exact — tests/test_convert_tool.py)
+                    return t.transpose(2, 1, 0)
+                # lhs-dilated forward conv emulation (hifigan 'ups_'):
+                # torch (in, out, k): flip taps, to (k, in, out)
                 return t[:, :, ::-1].transpose(2, 0, 1)
             return t.transpose(2, 1, 0)
         if t.ndim == 4:  # Conv2d
@@ -90,6 +97,7 @@ def torch_to_flax_params(
     flax_params,
     transpose_conv_markers: Iterable[str] = ("ups_",),
     strict: bool = True,
+    transpose_conv_rule: str = "flip_k_in_out",
 ):
     """Map a torch state_dict onto an initialized flax param pytree.
 
@@ -110,7 +118,12 @@ def torch_to_flax_params(
             unmatched_torch.append(key)
             continue
         if leaf == "weight":
-            target_leaf = "scale" if "scale" in entry and "kernel" not in entry else "kernel"
+            if "scale" in entry and "kernel" not in entry:
+                target_leaf = "scale"
+            elif "weight" in entry and "kernel" not in entry:
+                target_leaf = "weight"  # fixed buffers (Fourier time proj)
+            else:
+                target_leaf = "kernel"
         else:
             target_leaf = leaf
         if target_leaf not in entry:
@@ -118,7 +131,8 @@ def torch_to_flax_params(
             continue
         path, shape = entry[target_leaf]
         is_tc = any(m in norm for m in markers)
-        converted = convert_tensor(np.asarray(tensor), leaf, target_leaf, shape, is_tc)
+        converted = convert_tensor(np.asarray(tensor), leaf, target_leaf, shape,
+                                   is_tc, transpose_conv_rule)
         if tuple(converted.shape) != tuple(shape):
             raise ValueError(
                 f"shape mismatch for {key} -> {'/'.join(path)}: "
@@ -140,6 +154,47 @@ def torch_to_flax_params(
     base = dict(flatten_dict(flax_params))
     base.update(flat_out)
     return unflatten_dict(base)
+
+
+def fold_weight_norm(state_dict: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Fold torch weight-norm parametrizations into plain weights.
+
+    Handles both layouts:
+      old:  <mod>.weight_g + <mod>.weight_v
+      new:  <mod>.parametrizations.weight.original0 (g) + ...original1 (v)
+    weight = g * v / ||v||, with the norm over all axes except dim 0
+    (torch's default weight_norm dim=0 — per-output-channel).
+
+    Needed for the Oobleck VAE and HiFi-GAN checkpoints, whose convs are all
+    weight-normed at rest (reference: hifigan remove_weight_norm at load,
+    code/audioldm/hifigan/utilities.py:73-76).
+    """
+    out: Dict[str, np.ndarray] = {}
+    pairs: Dict[str, Dict[str, np.ndarray]] = {}
+    def base_of(key: str, suffix: str):
+        return key[: -len(suffix)].rstrip(".")
+
+    for k, v in state_dict.items():
+        if k.endswith("weight_g"):
+            pairs.setdefault(base_of(k, "weight_g"), {})["g"] = np.asarray(v)
+        elif k.endswith("weight_v"):
+            pairs.setdefault(base_of(k, "weight_v"), {})["v"] = np.asarray(v)
+        elif k.endswith("parametrizations.weight.original0"):
+            base = base_of(k, "parametrizations.weight.original0")
+            pairs.setdefault(base, {})["g"] = np.asarray(v)
+        elif k.endswith("parametrizations.weight.original1"):
+            base = base_of(k, "parametrizations.weight.original1")
+            pairs.setdefault(base, {})["v"] = np.asarray(v)
+        else:
+            out[k] = np.asarray(v)
+    for base, gv in pairs.items():
+        if "g" not in gv or "v" not in gv:
+            raise ValueError(f"incomplete weight-norm pair at {base}")
+        v = gv["v"]
+        norm = np.sqrt(np.sum(v ** 2, axis=tuple(range(1, v.ndim)), keepdims=True))
+        key = (base + ".weight") if base else "weight"
+        out[key] = gv["g"] * v / np.maximum(norm, 1e-12)
+    return out
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
