@@ -1,0 +1,136 @@
+"""Standalone generation CLI: text-to-audio, style transfer, inpainting/SR.
+
+Flag-compatible with the reference's vendored ``python -m audioldm`` CLI
+(reference: code/audioldm/__main__.py + pipeline.py:107-301): ``-t`` text
+prompt, ``-f`` source file (presence switches to style transfer),
+``--transfer_strength``, ``--duration``, ``--guidance_scale``,
+``--ddim_steps``, ``--n_candidate_gen_per_text``, plus ``--mode inpaint``
+with a time-window mask.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..editing.cfg import build_cfg_tensors
+from ..editing.generate import (
+    inpaint_latents,
+    style_transfer_latents,
+    text_to_audio_latents,
+)
+from ..models.registry import load_model, resolve_spec
+from ..utils.audio_io import load_audio, write_wav
+from .common import dump_run_summary, set_reproducibility, timestamp_name
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Text-to-audio generation")
+    p.add_argument("-t", "--text", type=str, default="")
+    p.add_argument("-f", "--file_path", type=str, default=None,
+                   help="source wav: presence switches to style transfer")
+    p.add_argument("--mode", type=str, default=None,
+                   choices=[None, "generation", "transfer", "inpaint"])
+    p.add_argument("--transfer_strength", type=float, default=0.5)
+    p.add_argument("-s", "--seed", type=int, default=42)
+    p.add_argument("--model_id", type=str, default="cvssp/audioldm-s-full-v2")
+    p.add_argument("-dur", "--duration", type=float, default=10.0)
+    p.add_argument("-gs", "--guidance_scale", type=float, default=2.5)
+    p.add_argument("-n", "--n_candidate_gen_per_text", type=int, default=1)
+    p.add_argument("--ddim_steps", type=int, default=200)
+    p.add_argument("--ddim_eta", type=float, default=1.0)
+    p.add_argument("--inpaint_window", type=float, nargs=2, default=None,
+                   help="seconds [start, end] to regenerate (inpaint mode)")
+    p.add_argument("--save_path", type=str, default="./output")
+    p.add_argument("--weights_dir", type=str, default=None)
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    mode = args.mode or ("transfer" if args.file_path else "generation")
+    seed = set_reproducibility(args.seed)
+    rng = jax.random.PRNGKey(seed)
+    if args.weights_dir is None:
+        warnings.warn("--weights_dir not given: running with RANDOM weights.")
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    # latent time length: duration * 102.4 mel frames / VAE downscale
+    frames = int(args.duration * 102.4)
+    pipe = load_model(args.model_id, args.ddim_steps,
+                      weights_dir=args.weights_dir, dtype=dtype,
+                      latent_time=max(frames // 4, 8))
+    spec = resolve_spec(args.model_id)
+    if spec.family == "stable-audio":
+        raise NotImplementedError("generation CLI targets the mel families")
+
+    n = args.n_candidate_gen_per_text
+    lat_w = (spec.mel.n_mel_channels if spec.mel else 64) // pipe.vae_pad_multiple
+    shape = (n, spec.unet.in_channels, max(frames // 4, 8), lat_w)
+
+    w0 = None
+    if mode != "generation":
+        if not args.file_path or not os.path.exists(args.file_path):
+            raise FileNotFoundError(f"--file_path: {args.file_path}")
+        x0, _, _ = load_audio(args.file_path, pipe.mel_config, stft=True,
+                              model_sr=pipe.get_sr())
+        w0 = pipe.vae_encode(jnp.asarray(x0))
+        w0 = jnp.repeat(w0, n, axis=0)
+        shape = tuple(w0.shape)
+
+    uncond = pipe.encode_text([""] * 1, negative=True)
+    cond = pipe.encode_text([args.text]) if args.text else None
+    cfg_t, _ = build_cfg_tensors(
+        (1,) + shape[1:], [args.text or ""], [args.guidance_scale],
+        zero_empty_prompts=(args.text == ""),
+    )
+    den1 = pipe.make_denoiser(uncond, cond, cfg_t if cond is not None else None)
+
+    def denoise(xt, k):  # batch the n candidates through the single-CFG closure
+        outs = [den1(xt[i: i + 1], k) for i in range(n)]
+        return jnp.concatenate(outs, axis=0)
+
+    if mode == "generation":
+        w = jax.jit(lambda r: text_to_audio_latents(
+            pipe.sched, denoise, shape, r, eta=args.ddim_eta))(rng)
+    else:
+        if mode == "transfer":
+            w = jax.jit(lambda r: style_transfer_latents(
+                pipe.sched, denoise, w0, r, args.transfer_strength,
+                eta=args.ddim_eta))(rng)
+        else:  # inpaint
+            mask = np.zeros(w0.shape, np.float32)
+            if args.inpaint_window is None:
+                mask[...] = 1.0
+            else:
+                f0 = int(args.inpaint_window[0] * 102.4 / pipe.vae_pad_multiple)
+                f1 = int(args.inpaint_window[1] * 102.4 / pipe.vae_pad_multiple)
+                mask[:, :, f0:f1, :] = 1.0
+            w = jax.jit(lambda r: inpaint_latents(
+                pipe.sched, denoise, w0, jnp.asarray(mask), r,
+                eta=args.ddim_eta))(rng)
+
+    x_dec = pipe.vae_decode(w)
+    audio = np.asarray(pipe.decode_to_mel(x_dec))
+
+    os.makedirs(args.save_path, exist_ok=True)
+    base = (args.text or "generation").replace(" ", "_")[:60]
+    outs = []
+    for i in range(n):
+        out = os.path.join(args.save_path, f"{base}_{timestamp_name()}_{i}.wav")
+        write_wav(out, audio[i: i + 1], pipe.get_sr())
+        outs.append(out)
+        print(f"[+] saved {out}")
+    dump_run_summary(args.save_path, args, {"seed": seed, "mode": mode})
+    return outs
+
+
+if __name__ == "__main__":
+    main()
