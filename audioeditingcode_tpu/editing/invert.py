@@ -74,8 +74,14 @@ def inversion_forward_process(
     numerical_fix: bool = True,
     zero_first: bool = True,
     return_extras: bool = False,
+    return_hspace: bool = False,
 ):
-    """Forward (inversion) pass: returns (xT, zs, xts[, extras]).
+    """Forward (inversion) pass: returns (xT, zs, xts[, extras][, hspaces]).
+
+    With ``return_hspace`` the denoiser must return ``(eps, h_space)`` (build
+    it with ``pipeline.make_hooked_denoiser(return_hspace=True)``); hspaces
+    come back in step order k=0..S-1 (largest timestep first), matching the
+    reference's extract_h_space stacking (inversion_utils.py:116-117,136-138).
 
     zs: (S, 1, ...) noise maps (zs[0] zeroed, reference inversion_utils.py:133);
     xts: (S+1, 1, ...) trajectory with xts[idx] rewritten to the
@@ -91,10 +97,13 @@ def inversion_forward_process(
     def body(carry, inputs):
         xt, state = carry
         k, xtm1_raw = inputs
-        eps = denoise_fn(xt, k)
+        if return_hspace:
+            eps, hsp = denoise_fn(xt, k)
+        else:
+            eps, hsp = denoise_fn(xt, k), ()
         state, z, xtm1_fix, extra = solver.forward_step(state, k, xt, xtm1_raw, eps)
         outputs = (z, xtm1_fix, extra) if solver.carries_history else (z, xtm1_fix)
-        return (xtm1_fix, state), outputs
+        return (xtm1_fix, state), outputs + (hsp,)
 
     ks = jnp.arange(S)
     # iteration k handles idx = S-k-1: xt_in = xts[idx+1], target = xts[idx]
@@ -102,6 +111,8 @@ def inversion_forward_process(
     xT = xts[S]
     init = (xT, solver.init_state(x0))
     (x_last, _), outs = jax.lax.scan(body, init, (ks, xtm1_raws))
+    hspaces = outs[-1]  # (S, ...) in k order, or () placeholder
+    outs = outs[:-1]
     if solver.carries_history:
         zs_k, xtm1_k, extras_k = outs
         extras = jnp.flip(extras_k, axis=0)
@@ -113,9 +124,12 @@ def inversion_forward_process(
     if zero_first:
         zs = zs.at[0].set(jnp.zeros_like(zs[0]))
     new_xts = jnp.concatenate([jnp.flip(xtm1_k, axis=0), xts[S:]], axis=0)
+    result = (x_last, zs, new_xts)
     if return_extras:
-        return x_last, zs, new_xts, extras
-    return x_last, zs, new_xts
+        result = result + (extras,)
+    if return_hspace:
+        result = result + (hspaces,)
+    return result
 
 
 def inversion_reverse_process(
@@ -128,7 +142,8 @@ def inversion_reverse_process(
     fix_alpha: float = 0.1,
     masks: Optional[jnp.ndarray] = None,  # (P, ...) smoothed prompt masks
     init_history: Optional[jnp.ndarray] = None,  # multistep warm start
-) -> jnp.ndarray:
+    return_hspace: bool = False,
+):
     """Reverse (editing) pass from x_{tstart.max()} using stored noise maps.
 
     Implements the loop of inversion_utils.py:221-315 including the
@@ -159,16 +174,21 @@ def inversion_reverse_process(
         xt, state = carry
         it, z, af_it, fix_target = inputs
         k = S - T + it
-        eps = denoise_fn(xt, k)
+        if return_hspace:
+            eps, hsp = denoise_fn(xt, k)
+        else:
+            eps, hsp = denoise_fn(xt, k), ()
         state, xt = solver.reverse_step(state, k, xt, eps, z)
         if multi:
             a = af_it.reshape((-1,) + (1,) * (xt.ndim - 1))  # (P, 1, 1, 1)
             blended = masks * (xt * (1.0 - a) + a * fix_target)
             xt = jnp.sum(blended, axis=0, keepdims=True)
-        return (xt, state), None
+        return (xt, state), hsp
 
     its = jnp.arange(T)
     zs_rev = jnp.flip(zs, axis=0)  # iteration order: idx = T-1 .. 0
     init = (xt, solver.init_state(xt, init_history))
-    (xt, _), _ = jax.lax.scan(body, init, (its, zs_rev, af, fix_targets))
+    (xt, _), hspaces = jax.lax.scan(body, init, (its, zs_rev, af, fix_targets))
+    if return_hspace:
+        return xt, hspaces
     return xt

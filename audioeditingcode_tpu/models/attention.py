@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.flash_attention import fused_attention
+
 
 def mask_to_bias(mask: Optional[jnp.ndarray], dtype) -> Optional[jnp.ndarray]:
     """(B, K) boolean/0-1 keep-mask -> additive (B, 1, 1, K) bias of 0/-1e4.
@@ -59,7 +61,7 @@ class Attention(nn.Module):
         k = k.reshape(b, kl, self.heads, self.head_dim)
         v = v.reshape(b, kl, self.heads, self.head_dim)
 
-        out = jax.nn.dot_product_attention(q, k, v, bias=attention_bias)
+        out = fused_attention(q, k, v, bias=attention_bias)
         out = out.reshape(b, ql, inner)
         out = nn.Dense(self.query_dim, use_bias=self.out_bias, dtype=self.dtype, name="to_out_0")(out)
         return out

@@ -125,6 +125,75 @@ class LatentAudioPipeline:
             cfg_tensor if cond is not None else None,
         )
 
+    def make_hooked_denoiser(
+        self,
+        uncond: TextCond,
+        cond: Optional[TextCond],
+        cfg_scalar: float,
+        k0: int = 0,
+        hspace_add: Optional[jnp.ndarray] = None,  # (T, ...) or (1, ...)
+        hspace_replace: Optional[jnp.ndarray] = None,  # (T, ...) or (1, ...)
+        zero_out_resconns=None,
+        return_hspace: bool = False,
+    ):
+        """Denoiser with the reference's semantic-editing hooks
+        (inversion_utils.py:230-246, 251-269): per-step h-space addition /
+        replacement and residual-connection zeroing, CFG split across the
+        mid-block residual as (1/(cfg+1), cfg/(cfg+1)). Per-step hook arrays
+        are indexed at ``k - k0``; single-entry arrays broadcast.
+
+        Returns denoise(xt, k) -> eps  (or (eps, h_space) with
+        ``return_hspace`` — h-space CFG-combined like inversion_utils:104).
+        Scalar-CFG only, like the reference's h-space path (:21-22)."""
+
+        def step_slice(arr, k):
+            if arr is None:
+                return None
+            if arr.shape[0] == 1:
+                return arr[0]
+            return arr[k - k0]
+
+        def denoise(xt, k):
+            t = self.sched.timesteps[k]
+            h_rep = step_slice(hspace_replace, k)
+            h_add = step_slice(hspace_add, k)
+            if cond is None:
+                out, h, _ = self.unet_forward_with_hooks(
+                    xt, t, repeat_cond(uncond, xt.shape[0]),
+                    replace_h_space=None if h_rep is None else h_rep[None],
+                    zero_out_resconns=zero_out_resconns,
+                    mid_block_additional_residual=None if h_add is None
+                    else h_add[None],
+                )
+                return (out, h) if return_hspace else out
+
+            cu = repeat_cond(uncond, xt.shape[0])
+            cc = repeat_cond(cond, xt.shape[0])
+            x2 = jnp.concatenate([xt, xt], axis=0)
+            mid = None
+            if h_add is not None:
+                mid = jnp.concatenate(
+                    [h_add[None] * (1.0 / (cfg_scalar + 1.0)),
+                     h_add[None] * (cfg_scalar / (cfg_scalar + 1.0))], axis=0,
+                )
+            rep = None if h_rep is None else jnp.concatenate(
+                [h_rep[None], h_rep[None]], axis=0
+            )
+            out, h, _ = self.unet_forward_with_hooks(
+                x2, t, concat_conds(cu, cc),
+                replace_h_space=rep,
+                zero_out_resconns=zero_out_resconns,
+                mid_block_additional_residual=mid,
+            )
+            eps_u, eps_c = out[:1], out[1:]
+            eps = eps_u + cfg_scalar * (eps_c - eps_u)
+            if return_hspace:
+                h_u, h_c = h[:1], h[1:]
+                return eps, h_u + cfg_scalar * (h_c - h_u)
+            return eps
+
+        return denoise
+
     # ----------------------------------------------------------- vae
     def vae_encode(self, x: jnp.ndarray) -> jnp.ndarray:
         """mel 'image' (B, 1, T, n_mels) NCHW -> latent (B, C, T/4, n_mels/4).

@@ -236,6 +236,10 @@ def _make_text_encoder(spec: ModelSpec, weights_dir: Optional[str]):
     unet = spec.unet
     if spec.family in ("audioldm",):
         # CLAP 512-d FiLM vector via class_labels (reference models.py:511-537)
+        if weights_dir is not None:
+            enc = _try_clap_film(weights_dir)
+            if enc is not None:
+                return enc
         return NullTextEncoder(
             class_dim=unet.projection_class_embeddings_input_dim,
         )
@@ -248,7 +252,19 @@ def _make_text_encoder(spec: ModelSpec, weights_dir: Optional[str]):
             hidden_dim=unet.cross_attention_dim, seq_len=8,
             hidden_dim_1=unet.cross_attention_dim_1, seq_len_1=spec.text_seq_len or 8,
         )
-    if spec.family in ("tango", "stable-diffusion"):
+    if spec.family == "tango":
+        if weights_dir is not None:
+            enc = _try_t5_encoder(spec, weights_dir)
+            if enc is not None:
+                return enc
+        return NullTextEncoder(
+            hidden_dim=unet.cross_attention_dim, seq_len=min(spec.text_seq_len, 64)
+        )
+    if spec.family == "stable-diffusion":
+        if weights_dir is not None:
+            enc = _try_clip_encoder(spec, weights_dir)
+            if enc is not None:
+                return enc
         return NullTextEncoder(
             hidden_dim=unet.cross_attention_dim, seq_len=min(spec.text_seq_len, 64)
         )
@@ -256,6 +272,78 @@ def _make_text_encoder(spec: ModelSpec, weights_dir: Optional[str]):
         return NullTextEncoder()
     # tiny/test
     return NullTextEncoder(class_dim=unet.projection_class_embeddings_input_dim)
+
+
+def _try_clap_film(weights_dir: str):
+    """AudioLDM CLAP text branch: RoBERTa + MLP projection, L2-normalized
+    pooled vector used as FiLM conditioning (reference: models.py:511-537)."""
+    clap_dir = os.path.join(weights_dir, "clap_text")
+    if not os.path.isdir(clap_dir):
+        return None
+    try:
+        from transformers import AutoTokenizer, FlaxRobertaModel
+    except ImportError:
+        return None
+    from .text_encoders import TextCond
+
+    roberta = FlaxRobertaModel.from_pretrained(clap_dir)
+    tok = AutoTokenizer.from_pretrained(clap_dir)
+    proj = np.load(os.path.join(clap_dir, "text_projection.npz"))
+
+    def encode(prompts, negative=False):
+        toks = tok(prompts, padding="max_length", max_length=tok.model_max_length,
+                   truncation=True, return_tensors="np")
+        out = roberta(input_ids=toks["input_ids"],
+                      attention_mask=toks["attention_mask"])
+        pooled = out.last_hidden_state[:, 0]
+        h = jnp.maximum(pooled @ proj["w1"].T + proj["b1"], 0.0)
+        emb = h @ proj["w2"].T + proj["b2"]
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        return TextCond(class_labels=emb)
+
+    return encode
+
+
+def _try_t5_encoder(spec: ModelSpec, weights_dir: str):
+    """FLAN-T5 sequence conditioning (TANGO — reference models.py:415-441)."""
+    t5_dir = os.path.join(weights_dir, "t5")
+    if not os.path.isdir(t5_dir):
+        return None
+    try:
+        from transformers import AutoTokenizer, FlaxT5EncoderModel
+    except ImportError:
+        return None
+    from .text_encoders import T5TextEncoder
+
+    return T5TextEncoder(
+        FlaxT5EncoderModel.from_pretrained(t5_dir),
+        AutoTokenizer.from_pretrained(t5_dir),
+        max_length=min(spec.text_seq_len or 512, 512),
+    )
+
+
+def _try_clip_encoder(spec: ModelSpec, weights_dir: str):
+    """CLIP text conditioning (Stable Diffusion — reference models.py:917-946)."""
+    clip_dir = os.path.join(weights_dir, "clip")
+    if not os.path.isdir(clip_dir):
+        return None
+    try:
+        from transformers import AutoTokenizer, FlaxCLIPTextModel
+    except ImportError:
+        return None
+    from .text_encoders import TextCond
+
+    clip = FlaxCLIPTextModel.from_pretrained(clip_dir)
+    tok = AutoTokenizer.from_pretrained(clip_dir)
+
+    def encode(prompts, negative=False):
+        toks = tok(prompts, padding="max_length", max_length=tok.model_max_length,
+                   truncation=True, return_tensors="np")
+        out = clip(input_ids=toks["input_ids"],
+                   attention_mask=toks["attention_mask"])
+        return TextCond(hidden_states=out.last_hidden_state)
+
+    return encode
 
 
 def _try_audioldm2_chain(spec: ModelSpec, weights_dir: str):

@@ -284,8 +284,28 @@ def convert(model_id: str, src: str, out: str) -> None:
             os.path.join(out, "projection_lm.msgpack"))
         _export_t5(src, out, subfolder="text_encoder_2")
         _export_clap_text(src, out)
+    elif spec.family == "audioldm":
+        _export_clap_text(src, out)
     elif spec.text_encoder == "t5":
         _export_t5(src, out, subfolder="text_encoder")
+    elif spec.text_encoder == "clip":
+        _export_clip(src, out)
+
+
+def _export_clip(src: str, out: str) -> None:
+    """Export the CLIP text encoder (Stable Diffusion) as transformers-Flax."""
+    try:
+        from transformers import AutoTokenizer, FlaxCLIPTextModel
+
+        clip = FlaxCLIPTextModel.from_pretrained(
+            os.path.join(src, "text_encoder"), from_pt=True
+        )
+        d = os.path.join(out, "clip")
+        clip.save_pretrained(d)
+        AutoTokenizer.from_pretrained(os.path.join(src, "tokenizer")).save_pretrained(d)
+        print(f"[+] wrote {d}")
+    except Exception as e:
+        print(f"[!] clip export skipped: {e}")
 
 
 def _export_t5(src: str, out: str, subfolder: str = "text_encoder") -> None:
