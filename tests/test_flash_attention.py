@@ -54,7 +54,7 @@ class TestBlockedAttention:
     def test_dispatcher_kernel_path_on_cpu_interpret(self):
         os.environ["PALLAS_INTERPRET_ATTENTION"] = "1"
         try:
-            q = jax.random.normal(jax.random.PRNGKey(0), (1, 512, 2, 16))
+            q = jax.random.normal(jax.random.PRNGKey(0), (1, 2048, 2, 16))
             ref = jax.nn.dot_product_attention(q, q, q)
             got = fused_attention(q, q, q)
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
