@@ -75,6 +75,46 @@ def save_spectrogram_png(path: str, spec: np.ndarray) -> None:
     plt.imsave(path, spec)
 
 
+def plot_corrs(corrs, in_corrs, n_evs: int, save_path: Optional[str] = None):
+    """PC-correlation diagnostic plots (reference: code/utils.py:141-214):
+    per-ev correlation of consecutive timesteps' PCs, and the in-iteration
+    power-method convergence correlations. Returns the two figures (saved as
+    PNGs when ``save_path`` is given)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    corrs = np.asarray(corrs) if len(corrs) else np.zeros((0, n_evs))
+    fig1, ax = plt.subplots()
+    for ev in range(n_evs):
+        if corrs.shape[0]:
+            ax.plot(corrs[:, ev], label=f"PC {ev + 1}")
+    ax.set_xlabel("timestep index")
+    ax.set_ylabel("corr with previous timestep's PC")
+    ax.set_ylim(-1.05, 1.05)
+    ax.legend()
+    fig1.tight_layout()
+
+    fig2, ax2 = plt.subplots()
+    in_corrs = np.asarray(in_corrs) if len(in_corrs) else np.zeros((0, 1, n_evs))
+    if in_corrs.size:
+        mean_conv = in_corrs.mean(axis=0)  # (iters-1, n_ev)
+        for ev in range(min(n_evs, mean_conv.shape[-1])):
+            ax2.plot(mean_conv[:, ev], label=f"PC {ev + 1}")
+    ax2.set_xlabel("power iteration")
+    ax2.set_ylabel("mean successive-iterate corr")
+    ax2.legend()
+    fig2.tight_layout()
+
+    if save_path is not None:
+        fig1.savefig(os.path.join(save_path, "pc_corrs.png"))
+        fig2.savefig(os.path.join(save_path, "pc_in_corrs.png"))
+    plt.close(fig1)
+    plt.close(fig2)
+    return fig1, fig2
+
+
 class WandbStub:
     """No-op drop-in used when wandb is unavailable or disabled."""
 

@@ -129,6 +129,14 @@ def main(argv=None):
         args, pipe, w0, rng, cfg_tar, save_path, image_name, seed
     )
 
+    # correlation diagnostics (reference: main_pc_extract_inv.py:222-231)
+    from ..editing.pcdata import load_extraction
+    from .common import plot_corrs
+
+    loaded = load_extraction(ckpt_path[: -len(".npz")])
+    plot_corrs(loaded.get("corrs", []), loaded.get("in_corrs", []),
+               args.n_evs, save_path=save_path)
+
     # final decode of the (drift-free) trajectory end
     x_dec = pipe.vae_decode(xt)
     audio = np.asarray(pipe.decode_to_mel(x_dec))

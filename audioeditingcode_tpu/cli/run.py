@@ -73,6 +73,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wandb_name", type=str, default=None)
     p.add_argument("--wandb_group", type=str, default=None)
     p.add_argument("--wandb_disable", action="store_true", default=True)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of the edit into this dir")
     return p
 
 
@@ -201,7 +203,13 @@ def main(argv=None):
                     masks=masks if multi else None,
                 )
 
-        w_edit = edit(w0, rng)
+        from ..utils.profiling import PhaseTimer, trace
+
+        timer = PhaseTimer()
+        n_steps = int(args.num_diffusion_steps + T)
+        with trace(args.profile_dir), timer.phase("edit", steps=n_steps):
+            w_edit = jax.block_until_ready(edit(w0, rng))
+        timer.report()
 
     # decode + vocode (fused on device)
     x_dec = pipe.vae_decode(w_edit)

@@ -10,7 +10,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..editing.sdedit import sdedit_loop
+from ..editing.sdedit import sdedit_loop, sdedit_loop_cosine
 from ..models.registry import load_model, resolve_spec
 from ..utils.audio_io import load_audio, write_wav
 from .common import (
@@ -62,28 +62,35 @@ def main(argv=None):
     pipe = load_model(args.model_id, args.num_diffusion_steps,
                       weights_dir=args.weights_dir, dtype=dtype)
     spec = resolve_spec(args.model_id)
-    if spec.family == "stable-audio":
-        raise NotImplementedError(
-            "The Stable Audio family is supported by main_run.py (DDPM-inversion "
-            "editing); the SDEdit/PC tools require a DDIM-scheduler model, as in "
-            "the reference."
-        )
+    stable_audio = spec.family == "stable-audio"
 
     x0, sr, duration = load_audio(
         args.init_aud, pipe.mel_config,
-        stft=(spec.family != "stable-audio"), model_sr=pipe.get_sr(),
+        stft=not stable_audio, model_sr=pipe.get_sr(),
     )
     x0 = jnp.asarray(x0)
-    w0 = pipe.vae_encode(x0)
+    if stable_audio:
+        max_s = pipe.audio_vae_length / pipe.sample_rate
+        pipe.setup_duration(0.0, min(duration, max_s))
+        rng, enc_rng = jax.random.split(rng)
+        w0 = pipe.vae_encode(x0, rng=enc_rng)
+    else:
+        w0 = pipe.vae_encode(x0)
 
     uncond = pipe.encode_text(args.target_neg_prompt, negative=True)
     tgt = pipe.encode_text(args.target_prompt)
     eps_pair = pipe.make_eps_pair(uncond, tgt)
 
-    @jax.jit
-    def run(w0, rng):
-        return sdedit_loop(pipe.sched, eps_pair, w0, rng, skip=skip,
-                           cfg_tar=float(args.cfg_tar), eta=args.eta)
+    if stable_audio:
+        @jax.jit
+        def run(w0, rng):
+            return sdedit_loop_cosine(pipe.sched, eps_pair, w0, rng, skip=skip,
+                                      cfg_tar=float(args.cfg_tar))
+    else:
+        @jax.jit
+        def run(w0, rng):
+            return sdedit_loop(pipe.sched, eps_pair, w0, rng, skip=skip,
+                               cfg_tar=float(args.cfg_tar), eta=args.eta)
 
     xt = run(w0, rng)
 
@@ -100,7 +107,13 @@ def main(argv=None):
     )
     os.makedirs(save_path, exist_ok=True)
 
-    save_spectrogram_png(os.path.join(save_path, image_name + ".png"), np.asarray(x_dec))
+    if audio.ndim == 3:  # stable-audio waveform (B, C, T)
+        audio = audio[0]
+    if orig_audio.ndim == 3:
+        orig_audio = orig_audio[0]
+    if not stable_audio:
+        save_spectrogram_png(os.path.join(save_path, image_name + ".png"),
+                             np.asarray(x_dec))
     write_wav(os.path.join(save_path, image_name + ".wav"), audio, sr)
     write_wav(os.path.join(save_path, "orig.wav"), orig_audio, sr)
     dump_run_summary(save_path, args, {"seed": seed, "duration": duration})

@@ -2,6 +2,12 @@
 
 (reference: code/main_run_sdedit.py:79-100 — latents pre-sampled per step,
 loop via forward_directional with eta=1.)
+
+``sdedit_loop_cosine`` extends the baseline to the Stable Audio family
+(the reference's forward_directional is DDIM-bound — pc_drift.py:42,90 use
+``alphas_cumprod`` and ``scheduler.step(eta=...)`` — so upstream SDEdit
+cannot run that family at all): x_t = w0 + sigma_t * n, then 2nd-order
+SDE-DPM-Solver++ steps with fresh per-step noise.
 """
 
 from __future__ import annotations
@@ -11,6 +17,7 @@ import jax.numpy as jnp
 
 from ..schedulers import DiffusionSchedule, add_noise
 from .pc_drift import EpsPairFn, forward_directional
+from .solvers import CosineDPMSolver
 
 
 def sdedit_loop(
@@ -42,4 +49,35 @@ def sdedit_loop(
         return xt, None
 
     xt, _ = jax.lax.scan(body, xt, (jnp.arange(skip, S), latents))
+    return xt
+
+
+def sdedit_loop_cosine(
+    solver: CosineDPMSolver,
+    eps_pair_fn: EpsPairFn,
+    w0: jnp.ndarray,
+    rng: jax.Array,
+    skip: int,
+    cfg_tar: float,
+) -> jnp.ndarray:
+    """SDEdit on the sigma-space cosine solver (Stable Audio family)."""
+    sched = solver.sched
+    S = sched.num_inference_steps
+    runs = S - skip
+    k_noise, k_lat = jax.random.split(rng)
+
+    noise = jax.random.normal(k_noise, w0.shape, dtype=w0.dtype)
+    xt = w0 + sched.sigmas[skip] * noise
+    latents = jax.random.normal(k_lat, (runs,) + w0.shape, dtype=w0.dtype)
+
+    def body(carry, inputs):
+        xt, state = carry
+        k, z = inputs
+        eps_u, eps_c = eps_pair_fn(xt, xt, k)
+        noise_pred = eps_u + cfg_tar * (eps_c - eps_u)
+        state, xt = solver.reverse_step(state, k, xt, noise_pred, z)
+        return (xt, state), None
+
+    init = (xt, solver.init_state(xt))
+    (xt, _), _ = jax.lax.scan(body, init, (jnp.arange(skip, S), latents))
     return xt

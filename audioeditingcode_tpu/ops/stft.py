@@ -187,3 +187,74 @@ def mel_spectrogram(
         config.hop_length,
         config.win_length,
     )
+
+
+def stft_transform(
+    wave: jnp.ndarray, config: MelConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(magnitude, phase) like the reference STFT.transform (stft.py:52-81)."""
+    cos_b, sin_b, _ = config.bases()
+    pad = config.filter_length // 2
+    x = jnp.pad(wave, [(0, 0), (pad, pad)], mode="reflect")
+    frames = _frame(x, config.filter_length, config.hop_length)
+    real = jnp.einsum("btn,cn->bct", frames, jnp.asarray(cos_b),
+                      preferred_element_type=jnp.float32)
+    imag = jnp.einsum("btn,cn->bct", frames, jnp.asarray(sin_b),
+                      preferred_element_type=jnp.float32)
+    return jnp.sqrt(real ** 2 + imag ** 2), jnp.arctan2(imag, real)
+
+
+def inverse_stft(
+    magnitude: jnp.ndarray,  # (B, n_fft//2+1, T)
+    phase: jnp.ndarray,
+    config: MelConfig,
+) -> jnp.ndarray:
+    """ISTFT via weighted overlap-add with window sum-square compensation
+    (reference: stft.py:83-127 STFT.inverse + audio_processing.py:7-63
+    window_sumsquare). Returns (B, L) with the reflect padding trimmed."""
+    n_fft = config.filter_length
+    hop = config.hop_length
+    window = hann_window(config.win_length)
+    if config.win_length < n_fft:
+        p = (n_fft - config.win_length) // 2
+        window = np.pad(window, (p, n_fft - config.win_length - p))
+    window = jnp.asarray(window, jnp.float32)
+
+    X = magnitude * jnp.exp(1j * phase)  # (B, C, T), basis convention = rfft
+    frames = jnp.fft.irfft(jnp.transpose(X, (0, 2, 1)), n=n_fft, axis=-1)
+    frames = frames * window[None, None, :]
+
+    B, T = frames.shape[0], frames.shape[1]
+    out_len = (T - 1) * hop + n_fft
+    idx = np.arange(T)[:, None] * hop + np.arange(n_fft)[None, :]
+    sig = jnp.zeros((B, out_len), frames.dtype).at[:, idx].add(frames)
+    wss = jnp.zeros((out_len,), frames.dtype).at[idx.reshape(-1)].add(
+        jnp.tile(window ** 2, (T,))
+    )
+    sig = sig / jnp.maximum(wss, 1e-8)[None, :]
+    return sig[:, n_fft // 2: -(n_fft // 2)]
+
+
+def griffin_lim(
+    magnitudes: jnp.ndarray,  # (B, n_fft//2+1, T)
+    config: MelConfig,
+    n_iters: int = 30,
+    rng=None,
+) -> jnp.ndarray:
+    """Phase recovery by alternating projection
+    (reference: audio_processing.py:66-82). Vocoder-free waveform synthesis
+    from magnitude spectrograms."""
+    import jax
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    phase = jax.random.uniform(rng, magnitudes.shape, minval=-np.pi, maxval=np.pi)
+    signal = inverse_stft(magnitudes, phase, config)
+
+    def body(signal, _):
+        _, ang = stft_transform(signal, config)
+        ang = ang[..., : magnitudes.shape[-1]]
+        return inverse_stft(magnitudes, ang, config), None
+
+    signal, _ = jax.lax.scan(body, signal, None, length=n_iters)
+    return signal

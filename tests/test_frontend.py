@@ -10,6 +10,7 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from audioeditingcode_tpu.ops.stft import (
@@ -155,3 +156,46 @@ def test_normalize_and_pad_spec():
     assert pad_spec(fb, 4).shape == (4, 64)
     odd = np.ones((10, 65), dtype=np.float32)
     assert pad_spec(odd, 10).shape == (10, 64)
+
+
+class TestInverseSTFT:
+    def test_roundtrip_reconstruction(self):
+        from audioeditingcode_tpu.ops.stft import (
+            MelConfig,
+            inverse_stft,
+            stft_transform,
+        )
+
+        cfg = MelConfig()
+        t = np.arange(16000, dtype=np.float32) / 16000
+        wave = (0.4 * np.sin(2 * np.pi * 440 * t)
+                + 0.2 * np.sin(2 * np.pi * 1234 * t))[None, :]
+        mag, phase = stft_transform(jnp.asarray(wave), cfg)
+        rec = np.asarray(inverse_stft(mag, phase, cfg))
+        n = min(rec.shape[-1], wave.shape[-1])
+        # interior must reconstruct near-exactly (edges lack full overlap)
+        err = np.abs(rec[0, 1024:n - 1024] - wave[0, 1024:n - 1024]).max()
+        assert err < 1e-3, err
+
+    def test_griffin_lim_converges(self):
+        from audioeditingcode_tpu.ops.stft import (
+            MelConfig,
+            griffin_lim,
+            stft_transform,
+        )
+
+        cfg = MelConfig()
+        t = np.arange(8000, dtype=np.float32) / 16000
+        wave = (0.5 * np.sin(2 * np.pi * 440 * t))[None, :]
+        mag, _ = stft_transform(jnp.asarray(wave), cfg)
+        def rel_err(n_iters):
+            rec = griffin_lim(mag, cfg, n_iters=n_iters, rng=jax.random.PRNGKey(0))
+            mag_rec, _ = stft_transform(rec, cfg)
+            n = min(mag.shape[-1], mag_rec.shape[-1])
+            return (np.linalg.norm(np.asarray(mag_rec)[..., :n]
+                                   - np.asarray(mag)[..., :n])
+                    / np.linalg.norm(np.asarray(mag)))
+
+        e0, e20 = rel_err(0), rel_err(20)
+        assert e20 < 0.35, e20          # close in magnitude after 20 iters
+        assert e20 < 0.6 * e0, (e0, e20)  # and clearly converging

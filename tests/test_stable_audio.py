@@ -157,3 +157,38 @@ class TestCLI:
         ])
         assert os.path.exists(out)
         assert os.path.exists(os.path.join(os.path.dirname(out), "orig.wav"))
+
+
+class TestSDEdit:
+    def test_sdedit_cli_stable_audio(self, tmp_path):
+        import scipy.io.wavfile as wavfile
+
+        sr = 4000
+        t = np.arange(sr, dtype=np.float32) / sr
+        wav = (0.4 * np.sin(2 * np.pi * 330 * t) * 32767).astype(np.int16)
+        p = tmp_path / "clip.wav"
+        wavfile.write(p, sr, np.stack([wav, wav], axis=1))
+
+        from audioeditingcode_tpu.cli import sdedit
+
+        out = sdedit.main([
+            "--model_id", TINY, "--init_aud", str(p),
+            "--target_prompt", "a cello", "--num_diffusion_steps", "6",
+            "--tstart", "4", "--results_path", str(tmp_path / "sd"),
+            "--seed", "0",
+        ])
+        assert os.path.exists(out)
+
+    def test_sdedit_loop_cosine_shapes(self):
+        from audioeditingcode_tpu.editing.sdedit import sdedit_loop_cosine
+        from audioeditingcode_tpu.models.registry import load_model
+
+        pipe = load_model(TINY, num_diffusion_steps=6)
+        w0 = jax.random.normal(jax.random.PRNGKey(0), (1, 4, pipe.sample_size))
+        uncond = pipe.encode_text([""], negative=True)
+        tgt = pipe.encode_text(["a drum"])
+        eps_pair = pipe.make_eps_pair(uncond, tgt)
+        out = sdedit_loop_cosine(pipe.sched, eps_pair, w0,
+                                 jax.random.PRNGKey(1), skip=2, cfg_tar=6.0)
+        assert out.shape == w0.shape
+        assert np.isfinite(np.asarray(out)).all()
