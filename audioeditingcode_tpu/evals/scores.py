@@ -203,3 +203,23 @@ def combine_scores(state: ScoreState):
     df = pd.DataFrame(rows)
     return {m: g.drop(columns=["method"]).reset_index(drop=True)
             for m, g in df.groupby("method")} if len(df) else {}
+
+
+def supervised_tradeoff_table(df, group_by=("skip", "tarcfg", "srccfg")):
+    """CLAP-vs-LPAPS trade-off curves, aggregated over inputs/prompts per
+    sweep point — the table behind evals/SupEval.ipynb cells 10-14 (mean
+    CLAP and LPAPS per skip x tarcfg x srccfg)."""
+    cols = [c for c in group_by if c in df.columns]
+    agg = (df.groupby(cols, dropna=False)[["clap", "lpaps"]]
+           .agg(["mean", "std", "count"]))
+    agg.columns = ["_".join(c) for c in agg.columns]
+    return agg.reset_index().sort_values(cols)
+
+
+def unsupervised_fad_table(fad_by_skip: Dict[int, Dict[str, float]]):
+    """FAD-to-original vs FAD-to-reference-set scatter data per skip —
+    evals/UnsupEval.ipynb cell 16. Input: {skip: {ref_name: fad}}."""
+    import pandas as pd
+
+    rows = [{"skip": skip, **refs} for skip, refs in sorted(fad_by_skip.items())]
+    return pd.DataFrame(rows)

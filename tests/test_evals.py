@@ -151,3 +151,29 @@ class TestOrchestration:
 
         dfs = combine_scores(state)
         assert "ours" in dfs and len(dfs["ours"]) == 1
+
+
+class TestTradeoffTables:
+    def test_supervised_table(self):
+        import pandas as pd
+
+        from audioeditingcode_tpu.evals.scores import supervised_tradeoff_table
+
+        df = pd.DataFrame([
+            {"skip": 100, "tarcfg": 12.0, "srccfg": 3.0, "clap": 0.3, "lpaps": 0.2},
+            {"skip": 100, "tarcfg": 12.0, "srccfg": 3.0, "clap": 0.5, "lpaps": 0.4},
+            {"skip": 120, "tarcfg": 12.0, "srccfg": 3.0, "clap": 0.6, "lpaps": 0.5},
+        ])
+        t = supervised_tradeoff_table(df)
+        assert len(t) == 2
+        row = t[t["skip"] == 100].iloc[0]
+        assert row["clap_mean"] == pytest.approx(0.4)
+        assert row["clap_count"] == 2
+
+    def test_unsupervised_table(self):
+        from audioeditingcode_tpu.evals.scores import unsupervised_fad_table
+
+        t = unsupervised_fad_table({150: {"orig": 1.2, "fma_pop": 4.0},
+                                    100: {"orig": 2.0, "fma_pop": 3.1}})
+        assert list(t["skip"]) == [100, 150]
+        assert "fma_pop" in t.columns
