@@ -43,6 +43,7 @@ MODEL_CHOICES = [
     "declare-lab/tango-full-ft-audiocaps",
     "stabilityai/stable-audio-open-1.0",
     "test/tiny-audioldm",
+    "test/tiny-audioldm2",
     "test/tiny-stable-audio",
 ]
 

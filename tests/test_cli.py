@@ -114,3 +114,17 @@ def test_pc_extract_and_apply(wav_file, tmp_path):
     ])
     assert os.path.exists(outs2[0])
     assert "_RAND" in outs2[0]
+
+
+def test_main_run_audioldm2_dual_stream(tmp_path, wav_file):
+    """Dual-cross-attention family end-to-end through the edit CLI."""
+    from audioeditingcode_tpu.cli import run
+
+    out = run.main([
+        "--model_id", "test/tiny-audioldm2", "--init_aud", wav_file,
+        "--target_prompt", "a trumpet", "--source_prompt", "a piano",
+        "--num_diffusion_steps", "5", "--tstart", "3",
+        "--results_path", str(tmp_path / "r2"), "--seed", "0",
+    ])
+    import os
+    assert os.path.exists(out)
