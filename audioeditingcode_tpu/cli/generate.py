@@ -91,20 +91,26 @@ def main(argv=None):
         (1,) + shape[1:], [args.text or ""], [args.guidance_scale],
         zero_empty_prompts=(args.text == ""),
     )
-    den1 = pipe.make_denoiser(uncond, cond, cfg_t if cond is not None else None)
+    model_params = pipe.params_dict()
 
-    def denoise(xt, k):  # batch the n candidates through the single-CFG closure
-        outs = [den1(xt[i: i + 1], k) for i in range(n)]
-        return jnp.concatenate(outs, axis=0)
+    def make_denoise(p):
+        den1 = p.make_denoiser(uncond, cond, cfg_t if cond is not None else None)
+
+        def denoise(xt, k):  # batch the n candidates through the CFG closure
+            outs = [den1(xt[i: i + 1], k) for i in range(n)]
+            return jnp.concatenate(outs, axis=0)
+
+        return denoise
 
     if mode == "generation":
-        w = jax.jit(lambda r: text_to_audio_latents(
-            pipe.sched, denoise, shape, r, eta=args.ddim_eta))(rng)
+        w = jax.jit(lambda mp, r: text_to_audio_latents(
+            pipe.sched, make_denoise(pipe.bind(mp)), shape, r,
+            eta=args.ddim_eta))(model_params, rng)
     else:
         if mode == "transfer":
-            w = jax.jit(lambda r: style_transfer_latents(
-                pipe.sched, denoise, w0, r, args.transfer_strength,
-                eta=args.ddim_eta))(rng)
+            w = jax.jit(lambda mp, r: style_transfer_latents(
+                pipe.sched, make_denoise(pipe.bind(mp)), w0, r,
+                args.transfer_strength, eta=args.ddim_eta))(model_params, rng)
         else:  # inpaint
             mask = np.zeros(w0.shape, np.float32)
             if args.inpaint_window is None:
@@ -113,9 +119,9 @@ def main(argv=None):
                 f0 = int(args.inpaint_window[0] * 102.4 / pipe.vae_pad_multiple)
                 f1 = int(args.inpaint_window[1] * 102.4 / pipe.vae_pad_multiple)
                 mask[:, :, f0:f1, :] = 1.0
-            w = jax.jit(lambda r: inpaint_latents(
-                pipe.sched, denoise, w0, jnp.asarray(mask), r,
-                eta=args.ddim_eta))(rng)
+            w = jax.jit(lambda mp, r: inpaint_latents(
+                pipe.sched, make_denoise(pipe.bind(mp)), w0, jnp.asarray(mask),
+                r, eta=args.ddim_eta))(model_params, rng)
 
     x_dec = pipe.vae_decode(w)
     audio = np.asarray(pipe.decode_to_mel(x_dec))

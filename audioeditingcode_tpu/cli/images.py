@@ -83,12 +83,12 @@ def sdedit_main(argv=None):
 
     uncond = pipe.encode_text(args.target_neg_prompt, negative=True)
     tgt = pipe.encode_text(args.target_prompt)
-    eps_pair = pipe.make_eps_pair(uncond, tgt)
 
     xt = jax.jit(
-        lambda w, r: sdedit_loop(pipe.sched, eps_pair, w, r, skip=skip,
-                                 cfg_tar=float(args.cfg_tar), eta=args.eta)
-    )(w0, rng)
+        lambda mp, w, r: sdedit_loop(
+            pipe.sched, pipe.bind(mp).make_eps_pair(uncond, tgt), w, r,
+            skip=skip, cfg_tar=float(args.cfg_tar), eta=args.eta)
+    )(pipe.params_dict(), w0, rng)
 
     x_dec = np.clip(np.asarray(pipe.vae_decode(xt)), -1, 1)
 

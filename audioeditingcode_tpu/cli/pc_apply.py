@@ -178,17 +178,22 @@ def run_pc_application(args, pipe, ex_args, eigdata, latents, xts, cfg_tar, eta)
     timesteps = np.asarray(pipe.sched.timesteps)
 
     n_out = 1 if args.combine_evs else len(args.evs)
-    eps_pair_1 = pipe.make_eps_pair(uncond, text)
-    eps_pair_n = pipe.make_eps_pair(repeat_cond(uncond, n_out), repeat_cond(text, n_out))
+    uncond_n = repeat_cond(uncond, n_out)
+    text_n = repeat_cond(text, n_out)
 
     @jax.jit
-    def traj_step(xt, k, latent):
-        return forward_directional(pipe.sched, eps_pair_1, xt, k, latent, cfg_tar, eta=eta)
+    def traj_step(params, xt, k, latent):
+        p = pipe.bind(params)
+        eps_pair_1 = p.make_eps_pair(uncond, text)
+        return forward_directional(p.sched, eps_pair_1, xt, k, latent, cfg_tar, eta=eta)
 
     @jax.jit
-    def traj_step_n(xt, k, latent):
-        return forward_directional(pipe.sched, eps_pair_n, xt, k, latent, cfg_tar, eta=eta)
+    def traj_step_n(params, xt, k, latent):
+        p = pipe.bind(params)
+        eps_pair_n = p.make_eps_pair(uncond_n, text_n)
+        return forward_directional(p.sched, eps_pair_n, xt, k, latent, cfg_tar, eta=eta)
 
+    model_params = pipe.params_dict()
     xt = latents[0]
     parallel_xt = xts[0] if (args.fix_alpha is not None and xts is not None) else None
 
@@ -197,7 +202,7 @@ def run_pc_application(args, pipe, ex_args, eigdata, latents, xts, cfg_tar, eta)
         latent = latents[it + 1]
         step = traj_step if xt.shape[0] == 1 else traj_step_n
         lat_b = jnp.repeat(latent, xt.shape[0], axis=0) if xt.shape[0] > 1 else latent
-        xt_m1, x0_pred = step(xt, k, lat_b)
+        xt_m1, x0_pred = step(model_params, xt, k, lat_b)
 
         if args.fix_alpha is not None and xts is not None:
             parallel_xt = xts[it + 1]

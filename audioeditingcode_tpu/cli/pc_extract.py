@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wandb_name", type=str, default=None)
     p.add_argument("--wandb_group", type=str, default=None)
     p.add_argument("--wandb_disable", action="store_true")
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--dp", type=int, default=1,
+                   help="shard the n_evs power-iteration batch over 'dp'")
     return p
 
 
@@ -96,6 +99,10 @@ def main(argv=None):
     pipe = load_model(args.model_id, args.num_diffusion_steps,
                       weights_dir=args.weights_dir, dtype=dtype)
     spec = resolve_spec(args.model_id)
+    from .run import maybe_shard_pipeline
+
+    mesh = maybe_shard_pipeline(pipe, getattr(args, "dp", 1), getattr(args, "tp", 1))
+    args._mesh = mesh
     if spec.family == "stable-audio":
         raise NotImplementedError(
             "The Stable Audio family is supported by main_run.py (DDPM-inversion "
@@ -170,13 +177,18 @@ def run_pc_extraction(args, pipe, w0, rng, cfg_tar, save_path, image_name, seed)
 
     cfg_t, _ = build_cfg_tensors(w0.shape, args.source_prompt, [cfg_tar],
                                  zero_empty_prompts=True)
-    fwd_den = pipe.make_denoiser(pipe.encode_text([""], negative=True), src, cfg_t)
+    empty = pipe.encode_text([""], negative=True)
     rng, r_inv = jax.random.split(rng)
-    _, zs, wts = jax.jit(
-        lambda w, r: inversion_forward_process(
-            pipe.sched, fwd_den, w, r, eta=args.eta, numerical_fix=args.numerical_fix
+
+    @jax.jit
+    def invert(params, w, r):
+        p = pipe.bind(params)
+        fwd_den = p.make_denoiser(empty, src, cfg_t)
+        return inversion_forward_process(
+            p.sched, fwd_den, w, r, eta=args.eta, numerical_fix=args.numerical_fix
         )
-    )(w0, r_inv)
+
+    _, zs, wts = invert(pipe.params_dict(), w0, r_inv)
 
     # latents[0] = x_T; latents[it+1] = z used at iteration it (:142-143)
     latents = jnp.concatenate([wts[S: S + 1], jnp.flip(zs, axis=0)], axis=0)
@@ -195,27 +207,40 @@ def run_pc_extraction(args, pipe, w0, rng, cfg_tar, save_path, image_name, seed)
     n_ev = args.n_evs
     uncond_ev = repeat_cond(uncond, n_ev)
     text_ev = repeat_cond(text, n_ev)
-    eps_pair = pipe.make_eps_pair(uncond, text)
-    eps_pair_ev = pipe.make_eps_pair(uncond_ev, text_ev)
 
     @jax.jit
-    def traj_step(xt, k, latent):
-        return forward_directional(pipe.sched, eps_pair, xt, k, latent, cfg_tar,
+    def traj_step(params, xt, k, latent):
+        p = pipe.bind(params)
+        eps_pair = p.make_eps_pair(uncond, text)
+        return forward_directional(p.sched, eps_pair, xt, k, latent, cfg_tar,
                                    eta=args.eta)
 
+    mesh = getattr(args, "_mesh", None)
+
+    def _dp_shard(x):
+        if mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1))))
+        return jax.lax.with_sharding_constraint(x, sh)
+
     @jax.jit
-    def eig_step(xt, k, latent, x0_pred, r):
-        xt_ev = jnp.repeat(xt, n_ev, axis=0)
-        x0_ev = jnp.repeat(x0_pred, n_ev, axis=0)
-        lat_ev = jnp.repeat(latent, n_ev, axis=0)
+    def eig_step(params, xt, k, latent, x0_pred, r):
+        p = pipe.bind(params)
+        eps_pair_ev = p.make_eps_pair(uncond_ev, text_ev)
+        xt_ev = _dp_shard(jnp.repeat(xt, n_ev, axis=0))
+        x0_ev = _dp_shard(jnp.repeat(x0_pred, n_ev, axis=0))
+        lat_ev = _dp_shard(jnp.repeat(latent, n_ev, axis=0))
         return get_eigenvectors(
-            pipe.sched, eps_pair_ev, xt_ev, lat_ev, mask_j, k, x0_ev, r,
+            p.sched, eps_pair_ev, xt_ev, lat_ev, mask_j, k, x0_ev, r,
             mode=PCStreamChoice.BOTH, const=args.const, cfg_tar=cfg_tar,
             iters=args.iters, eta=args.eta, n_ev=n_ev,
         )
 
     ckpt_path = os.path.join(save_path, image_name + ".npz")
 
+    model_params = pipe.params_dict()
     xt = latents[0]
     prev_pc = None
     eig_ts, eig_its = [], []
@@ -244,11 +269,11 @@ def run_pc_extraction(args, pipe, w0, rng, cfg_tar, save_path, image_name, seed)
 
     for it in range(S):
         k = jnp.asarray(it)
-        xt_m1, x0_pred = traj_step(xt, k, latents[it + 1])
+        xt_m1, x0_pred = traj_step(model_params, xt, k, latents[it + 1])
 
         if not args.dry and drift_start_it <= it < drift_end_it:
             rng, r_eig = jax.random.split(rng)
-            res = eig_step(xt, k, latents[it + 1], x0_pred, r_eig)
+            res = eig_step(model_params, xt, k, latents[it + 1], x0_pred, r_eig)
             vecs = np.asarray(res.eigvecs)
             corr = None
             if it > drift_start_it and prev_pc is not None:

@@ -76,7 +76,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wandb_disable", action="store_true", default=True)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the edit into this dir")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel ways over the device mesh")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel ways over the device mesh")
     return p
+
+
+def maybe_shard_pipeline(pipe, dp: int, tp: int):
+    """Shard model params over a (dp, tp) mesh when requested; returns the
+    mesh (or None). Weight matrices shard over output channels on 'tp';
+    XLA GSPMD inserts the ICI collectives."""
+    if dp * tp <= 1:
+        return None
+    from ..parallel.mesh import make_mesh, shard_module_params
+
+    mesh = make_mesh(n_devices=dp * tp, dp=dp, tp=tp)
+    for attr in ("unet_params", "vae_params", "vocoder_params", "dit_params"):
+        params = getattr(pipe, attr, None)
+        if params is not None:
+            setattr(pipe, attr, shard_module_params(params, mesh))
+    return mesh
 
 
 def main(argv=None):
@@ -109,6 +129,7 @@ def main(argv=None):
     pipe = load_model(args.model_id, args.num_diffusion_steps,
                       weights_dir=args.weights_dir, dtype=dtype)
     spec = resolve_spec(args.model_id)
+    maybe_shard_pipeline(pipe, args.dp, args.tp)
 
     x0, sr, duration = load_audio(
         args.init_aud, pipe.mel_config,
@@ -158,18 +179,19 @@ def main(argv=None):
                 "num_diffusion_steps. You are now running partial DDIM inversion.",
                 RuntimeWarning,
             )
-        fwd_den = pipe.make_denoiser(pipe.encode_text([""], negative=True), src, cfg_src_t)
-        rev_den = pipe.make_denoiser(pipe.encode_text([""], negative=True), tgt, cfg_tar_t)
+        empty = pipe.encode_text([""], negative=True)
 
         @jax.jit
-        def ddim_edit(w0):
-            wT = ddim_inversion_loop(pipe.sched, fwd_den, w0, skip=int(skip[0]))
-            return ddim_generation_loop(pipe.sched, rev_den, wT, skip=int(skip[0]))
+        def ddim_edit(params, w0):
+            p = pipe.bind(params)
+            fwd_den = p.make_denoiser(empty, src, cfg_src_t)
+            rev_den = p.make_denoiser(empty, tgt, cfg_tar_t)
+            wT = ddim_inversion_loop(p.sched, fwd_den, w0, skip=int(skip[0]))
+            return ddim_generation_loop(p.sched, rev_den, wT, skip=int(skip[0]))
 
-        w_edit = ddim_edit(w0)
+        w_edit = ddim_edit(pipe.params_dict(), w0)
     else:
-        fwd_den = pipe.make_denoiser(pipe.encode_text([""], negative=True), src, cfg_src_t)
-        rev_den = pipe.make_denoiser(uncond, tgt, cfg_tar_t)
+        empty = pipe.encode_text([""], negative=True)
         T = int(args.num_diffusion_steps - skip.min())
         multi = len(args.target_prompt) > 1
         tstart_j = jnp.asarray(tstart)
@@ -178,13 +200,16 @@ def main(argv=None):
             # thread the 2nd-order solver history from the forward pass into
             # the reverse pass (reference extra_info, inversion_utils.py:129,219)
             @jax.jit
-            def edit(w0, rng):
+            def edit(params, w0, rng):
+                p = pipe.bind(params)
+                fwd_den = p.make_denoiser(empty, src, cfg_src_t)
+                rev_den = p.make_denoiser(uncond, tgt, cfg_tar_t)
                 _, zs, xts, extras = inversion_forward_process(
-                    pipe.sched, fwd_den, w0, rng, eta=args.eta,
+                    p.sched, fwd_den, w0, rng, eta=args.eta,
                     numerical_fix=args.numerical_fix, return_extras=True,
                 )
                 return inversion_reverse_process(
-                    pipe.sched, rev_den, xts, zs[:T], eta=args.eta,
+                    p.sched, rev_den, xts, zs[:T], eta=args.eta,
                     tstart=tstart_j if multi else None,
                     fix_alpha=args.fix_alpha,
                     masks=masks if multi else None,
@@ -192,13 +217,16 @@ def main(argv=None):
                 )
         else:
             @jax.jit
-            def edit(w0, rng):
+            def edit(params, w0, rng):
+                p = pipe.bind(params)
+                fwd_den = p.make_denoiser(empty, src, cfg_src_t)
+                rev_den = p.make_denoiser(uncond, tgt, cfg_tar_t)
                 _, zs, xts = inversion_forward_process(
-                    pipe.sched, fwd_den, w0, rng, eta=args.eta,
+                    p.sched, fwd_den, w0, rng, eta=args.eta,
                     numerical_fix=args.numerical_fix,
                 )
                 return inversion_reverse_process(
-                    pipe.sched, rev_den, xts, zs[:T], eta=args.eta,
+                    p.sched, rev_den, xts, zs[:T], eta=args.eta,
                     tstart=tstart_j if multi else None,
                     fix_alpha=args.fix_alpha,
                     masks=masks if multi else None,
@@ -209,7 +237,7 @@ def main(argv=None):
         timer = PhaseTimer()
         n_steps = int(args.num_diffusion_steps + T)
         with trace(args.profile_dir), timer.phase("edit", steps=n_steps):
-            w_edit = jax.block_until_ready(edit(w0, rng))
+            w_edit = jax.block_until_ready(edit(pipe.params_dict(), w0, rng))
         timer.report()
 
     # decode + vocode (fused on device)

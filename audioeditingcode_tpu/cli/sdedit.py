@@ -79,20 +79,23 @@ def main(argv=None):
 
     uncond = pipe.encode_text(args.target_neg_prompt, negative=True)
     tgt = pipe.encode_text(args.target_prompt)
-    eps_pair = pipe.make_eps_pair(uncond, tgt)
 
     if stable_audio:
         @jax.jit
-        def run(w0, rng):
-            return sdedit_loop_cosine(pipe.sched, eps_pair, w0, rng, skip=skip,
+        def run(params, w0, rng):
+            p = pipe.bind(params)
+            eps_pair = p.make_eps_pair(uncond, tgt)
+            return sdedit_loop_cosine(p.sched, eps_pair, w0, rng, skip=skip,
                                       cfg_tar=float(args.cfg_tar))
     else:
         @jax.jit
-        def run(w0, rng):
-            return sdedit_loop(pipe.sched, eps_pair, w0, rng, skip=skip,
+        def run(params, w0, rng):
+            p = pipe.bind(params)
+            eps_pair = p.make_eps_pair(uncond, tgt)
+            return sdedit_loop(p.sched, eps_pair, w0, rng, skip=skip,
                                cfg_tar=float(args.cfg_tar), eta=args.eta)
 
-    xt = run(w0, rng)
+    xt = run(pipe.params_dict(), w0, rng)
 
     x_dec = pipe.vae_decode(xt)
     audio = np.asarray(pipe.decode_to_mel(x_dec))

@@ -233,3 +233,18 @@ class LatentAudioPipeline:
 
     def latent_shape_for(self, x0: jnp.ndarray) -> Tuple[int, ...]:
         return tuple(x0.shape)
+
+    # ------------------------------------------------- param threading
+    def params_dict(self):
+        """All param pytrees, for passing as jit ARGUMENTS rather than
+        closure constants (weights as constants get serialized into the
+        compiled program — megabytes-to-gigabytes of HLO)."""
+        return {
+            "unet_params": self.unet_params,
+            "vae_params": self.vae_params,
+            "vocoder_params": self.vocoder_params,
+        }
+
+    def bind(self, params) -> "LatentAudioPipeline":
+        """Rebind param pytrees (use inside jitted functions)."""
+        return dataclasses.replace(self, **params)

@@ -206,3 +206,11 @@ class StableAudioPipeline:
     # ----------------------------------------------------------- misc
     def get_sr(self) -> int:
         return self.sample_rate
+
+    # ------------------------------------------------- param threading
+    def params_dict(self):
+        """Param pytrees for jit-argument threading (see LatentAudioPipeline)."""
+        return {"dit_params": self.dit_params, "vae_params": self.vae_params}
+
+    def bind(self, params) -> "StableAudioPipeline":
+        return dataclasses.replace(self, **params)

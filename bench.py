@@ -47,23 +47,27 @@ def main():
     uncond = pipe.encode_text([""])
     tgt = pipe.encode_text(["a jazzy saxophone solo"])
     cfg_t, _ = build_cfg_tensors(spec_shape, ["a jazzy saxophone solo"], [12.0])
-    denoise = pipe.make_denoiser(uncond, tgt, cfg_t)
 
     tstart = steps // 2
+    params = pipe.params_dict()
 
+    # params are jit ARGUMENTS (closure-captured weights would be baked into
+    # the program as constants and blow up the compile payload)
     @jax.jit
-    def edit(w0, rng):
-        _, zs, xts = inversion_forward_process(pipe.sched, denoise, w0, rng)
-        return inversion_reverse_process(pipe.sched, denoise, xts, zs[:tstart])
+    def edit(params, w0, rng):
+        p = pipe.bind(params)
+        denoise = p.make_denoiser(uncond, tgt, cfg_t)
+        _, zs, xts = inversion_forward_process(p.sched, denoise, w0, rng)
+        return inversion_reverse_process(p.sched, denoise, xts, zs[:tstart])
 
     rng = jax.random.PRNGKey(1)
     # warmup/compile
-    edit(w0, rng).block_until_ready()
+    edit(params, w0, rng).block_until_ready()
 
     n_rep = 3
     t0 = time.perf_counter()
     for i in range(n_rep):
-        out = edit(w0, jax.random.fold_in(rng, i))
+        out = edit(params, w0, jax.random.fold_in(rng, i))
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / n_rep
 

@@ -90,3 +90,25 @@ def test_dp_sharded_ev_batch_matches_single_device():
 
     np.testing.assert_allclose(np.asarray(prev), np.asarray(ref_prev), atol=1e-4)
     np.testing.assert_allclose(np.asarray(x0p), np.asarray(ref_x0), atol=1e-4)
+
+
+def test_cli_mesh_flags(tmp_path):
+    """--dp/--tp on the edit CLI shard the model over the virtual mesh."""
+    import numpy as np
+
+    from audioeditingcode_tpu.cli import run
+    from audioeditingcode_tpu.utils.audio_io import write_wav
+
+    sr = 16000
+    t = np.arange(sr // 2, dtype=np.float32) / sr
+    p = str(tmp_path / "clip.wav")
+    write_wav(p, (0.4 * np.sin(2 * np.pi * 330 * t))[None], sr)
+
+    out = run.main([
+        "--model_id", "test/tiny-audioldm", "--init_aud", p,
+        "--target_prompt", "a trumpet", "--num_diffusion_steps", "4",
+        "--tstart", "3", "--results_path", str(tmp_path / "r"),
+        "--seed", "0", "--tp", "2", "--dp", "2",
+    ])
+    import os
+    assert os.path.exists(out)
