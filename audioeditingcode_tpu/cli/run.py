@@ -240,9 +240,16 @@ def main(argv=None):
             w_edit = jax.block_until_ready(edit(pipe.params_dict(), w0, rng))
         timer.report()
 
-    # decode + vocode (fused on device)
-    x_dec = pipe.vae_decode(w_edit)
-    audio = np.asarray(pipe.decode_to_mel(x_dec))
+    # decode + vocode: ONE jitted graph (BASELINE: fused decode path),
+    # params threaded as arguments
+    @jax.jit
+    def decode(params, w):
+        p = pipe.bind(params)
+        x_dec = p.vae_decode(w)
+        return x_dec, p.decode_to_mel(x_dec)
+
+    x_dec, audio = decode(pipe.params_dict(), w_edit)
+    audio = np.asarray(audio)
     orig_audio = np.asarray(pipe.decode_to_mel(x0))
 
     save_path = edit_save_path(args.results_path, args.model_id, args.init_aud,
