@@ -270,6 +270,21 @@ def main(argv=None):
     dump_run_summary(save_path, args, {"seed": seed, "duration": duration})
     print(f"[+] saved {os.path.join(save_path, name + '.wav')}")
 
+    # wandb artifacts (reference: main_run.py:226-231)
+    from .common import WandbStub
+
+    if not isinstance(wandb, WandbStub):
+        import wandb as _wandb
+
+        log = {
+            "orig_audio": _wandb.Audio(np.squeeze(orig_audio).T
+                                       if orig_audio.ndim > 1 else orig_audio,
+                                       sample_rate=sr, caption="orig"),
+            "gen_audio": _wandb.Audio(np.squeeze(audio).T
+                                      if audio.ndim > 1 else audio,
+                                      sample_rate=sr, caption=name),
+        }
+        wandb.log(log)
     wandb.finish()
     return os.path.join(save_path, name + ".wav")
 

@@ -43,6 +43,7 @@ class LatentAudioPipeline:
     mel_config: MelConfig
     sample_rate: int = 16000
     vae_pad_multiple: int = 4
+    max_mel_frames: Optional[int] = None  # TANGO: 1700 (models.py:444-445)
 
     # ----------------------------------------------------------- text
     def encode_text(self, prompts: List[str], negative: bool = False) -> TextCond:
@@ -201,6 +202,11 @@ class LatentAudioPipeline:
         Pads the time axis at the start to a multiple of 4, like the
         reference (models.py:495-499: F.pad(x, (0, 0, 4 - H%4, 0)))."""
         h = x.shape[2]
+        if self.max_mel_frames is not None and h > self.max_mel_frames:
+            raise ValueError(
+                f"Audio too long: {h} mel frames > model maximum "
+                f"{self.max_mel_frames} (reference models.py:444-445)."
+            )
         m = self.vae_pad_multiple
         if h % m:
             x = jnp.pad(x, [(0, 0), (0, 0), (m - h % m, 0), (0, 0)])

@@ -113,6 +113,7 @@ def load_model(
         mel_config=spec.mel or MelConfig(),
         sample_rate=spec.sample_rate,
         vae_pad_multiple=spec.vae.downscale_factor,
+        max_mel_frames=1700 if spec.family == "tango" else None,
     )
 
 
