@@ -232,7 +232,7 @@ MODEL_SPECS = {
         vae=AutoencoderKLConfig(
             in_channels=3, out_channels=3, latent_channels=3,
             block_out_channels=(128, 256, 512), layers_per_block=2,
-            scaling_factor=1.0,
+            scaling_factor=1.0, double_z=False, num_vq_embeddings=8192,
         ),
         vocoder=None, scheduler=_AUDIOLDM_SCHED, mel=None,
         text_encoder="none", recommended_steps=100,
@@ -318,7 +318,7 @@ MODEL_SPECS = {
         vae=AutoencoderKLConfig(
             in_channels=3, out_channels=3, latent_channels=3,
             block_out_channels=(16, 32), layers_per_block=1, norm_num_groups=8,
-            scaling_factor=1.0,
+            scaling_factor=1.0, double_z=False, num_vq_embeddings=32,
         ),
         vocoder=None, scheduler=_AUDIOLDM_SCHED, mel=None,
         text_encoder="none", recommended_steps=10,

@@ -78,7 +78,12 @@ def load_model(
 
     rngs = jax.random.split(jax.random.PRNGKey(seed), 3)
     unet = UNet2DConditionModel(spec.unet, dtype=dtype)
-    vae = AutoencoderKL(spec.vae, dtype=dtype)
+    if spec.vae.num_vq_embeddings > 0:
+        from .vae import VQModel
+
+        vae = VQModel(spec.vae, dtype=dtype)
+    else:
+        vae = AutoencoderKL(spec.vae, dtype=dtype)
 
     lat_w = (spec.mel.n_mel_channels if spec.mel else 64) // spec.vae.downscale_factor
     x_lat = jnp.ones((1, latent_time, lat_w, spec.unet.in_channels))

@@ -27,6 +27,8 @@ class AutoencoderKLConfig:
     norm_num_groups: int = 32
     mid_block_add_attention: bool = True
     scaling_factor: float = 1.0
+    double_z: bool = True  # KL: (mean, logvar); VQ: single latent
+    num_vq_embeddings: int = 0  # > 0 for the VQ variant (CelebA-HQ: 8192)
 
     @property
     def downscale_factor(self) -> int:
@@ -66,7 +68,8 @@ class Encoder(nn.Module):
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype,
                          name="conv_norm_out")(x)
         x = nn.silu(x)
-        x = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
+        out_ch = (2 if cfg.double_z else 1) * cfg.latent_channels
+        x = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
         return x
 
 
@@ -132,6 +135,51 @@ class AutoencoderKL(nn.Module):
 
     def decode(self, z: jnp.ndarray) -> jnp.ndarray:
         z = z / self.config.scaling_factor
+        return self.decoder(self.post_quant_conv(z))
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.decode(self.encode(x))
+
+
+class VQModel(nn.Module):
+    """VQ-VAE (diffusers VQModel) — the CelebA-HQ LDM autoencoder.
+
+    encode(x): NHWC image -> continuous pre-quantization latents (the
+    reference edits in this space: models.py:1012-1015 uses
+    ``vqvae.encode(x).latents`` WITHOUT quantizing).
+    decode(z): nearest-codebook quantization, then decode
+    (models.py:1017-1018 — diffusers VQModel.decode quantizes by default).
+    """
+
+    config: AutoencoderKLConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        assert not self.config.double_z and self.config.num_vq_embeddings > 0
+        self.encoder = Encoder(self.config, dtype=self.dtype)
+        self.decoder = Decoder(self.config, dtype=self.dtype)
+        self.quant_conv = nn.Conv(self.config.latent_channels, (1, 1), dtype=self.dtype)
+        self.post_quant_conv = nn.Conv(self.config.latent_channels, (1, 1), dtype=self.dtype)
+        self.codebook = self.param(
+            "codebook", nn.initializers.uniform(scale=2.0 / self.config.num_vq_embeddings),
+            (self.config.num_vq_embeddings, self.config.latent_channels), jnp.float32,
+        )
+
+    def encode(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.quant_conv(self.encoder(x))
+
+    def quantize(self, z: jnp.ndarray) -> jnp.ndarray:
+        """Nearest-neighbour codebook lookup, (B, H, W, C) -> same shape."""
+        flat = z.reshape(-1, z.shape[-1])
+        d = (jnp.sum(flat ** 2, axis=1, keepdims=True)
+             - 2.0 * flat @ self.codebook.T
+             + jnp.sum(self.codebook ** 2, axis=1)[None, :])
+        idx = jnp.argmin(d, axis=1)
+        return self.codebook[idx].reshape(z.shape).astype(z.dtype)
+
+    def decode(self, z: jnp.ndarray, force_not_quantize: bool = False) -> jnp.ndarray:
+        if not force_not_quantize:
+            z = self.quantize(z)
         return self.decoder(self.post_quant_conv(z))
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -134,6 +134,25 @@ def wav_to_fbank(
     return fbank, log_magnitudes, waveform
 
 
+def get_height_of_spectrogram(
+    length_s: Optional[float],
+    upsample_rates=(5, 4, 2, 2, 2),
+    vocoder_sr: int = 16000,
+    vae_scale_factor: int = 4,
+    unet_sample_size: int = 256,
+) -> int:
+    """Mel-frame count for a requested duration, rounded up to the VAE scale
+    (reference: code/utils.py:119-138 — vocoder_upsample_factor =
+    prod(upsample_rates)/sr seconds per mel frame)."""
+    ups = float(np.prod(upsample_rates)) / vocoder_sr
+    if length_s is None:
+        length_s = unet_sample_size * vae_scale_factor * ups
+    height = int(length_s / ups)
+    if height % vae_scale_factor != 0:
+        height = int(np.ceil(height / vae_scale_factor)) * vae_scale_factor
+    return height
+
+
 def load_audio(
     audio_path: str,
     config: Optional[MelConfig] = None,

@@ -120,3 +120,37 @@ class TestImageCLIs:
             "--results_path", str(tmp_path / "r2"), "--seed", "1",
         ])
         assert os.path.exists(out)
+
+
+class TestVQ:
+    def test_vq_quantize_maps_to_codebook(self):
+        from audioeditingcode_tpu.models.configs import MODEL_SPECS
+        from audioeditingcode_tpu.models.vae import VQModel
+
+        cfg = MODEL_SPECS["test/tiny-celebahq"].vae
+        vq = VQModel(cfg)
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 3, 16, 16) * 2 - 1,
+                        jnp.float32).transpose(0, 2, 3, 1)
+        params = vq.init(jax.random.PRNGKey(0), x)
+        z = vq.apply(params, x, method=vq.encode)
+        assert z.shape[-1] == 3
+        q = vq.apply(params, z, method=vq.quantize)
+        cb = np.asarray(params["params"]["codebook"])
+        flat = np.asarray(q).reshape(-1, 3)
+        # every quantized vector must be an exact codebook row
+        d = np.abs(flat[:, None, :] - cb[None]).sum(-1).min(1)
+        assert d.max() < 1e-6
+
+    def test_vq_decode_quantizes_by_default(self):
+        from audioeditingcode_tpu.models.configs import MODEL_SPECS
+        from audioeditingcode_tpu.models.vae import VQModel
+
+        cfg = MODEL_SPECS["test/tiny-celebahq"].vae
+        vq = VQModel(cfg)
+        x = jnp.ones((1, 16, 16, 3))
+        params = vq.init(jax.random.PRNGKey(0), x)
+        z = vq.apply(params, x, method=vq.encode)
+        d1 = vq.apply(params, z, method=vq.decode)
+        d2 = vq.apply(params, z, True, method=vq.decode)  # force_not_quantize
+        assert d1.shape == x.shape
+        assert not np.allclose(np.asarray(d1), np.asarray(d2))

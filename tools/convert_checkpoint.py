@@ -250,10 +250,20 @@ def convert(model_id: str, src: str, out: str) -> None:
         load_subfolder_state_dict(src, "unet"),
         pipe.unet_params["params"], strict=False)},
         os.path.join(out, "unet.msgpack"))
-    save_msgpack({"params": torch_to_flax_params(
-        load_subfolder_state_dict(src, "vae"),
-        pipe.vae_params["params"], strict=False)},
-        os.path.join(out, "vae.msgpack"))
+    vae_subfolder = "vqvae" if spec.family == "celebahq" else "vae"
+    vae_sd = load_subfolder_state_dict(src, vae_subfolder)
+    if spec.family == "celebahq":
+        # VQ codebook: quantize.embedding.weight -> top-level 'codebook' param
+        vae_sd = _rename(vae_sd, [(r"quantize\.embedding\.weight", "codebook")])
+        cb = vae_sd.pop("codebook")
+        params = torch_to_flax_params(vae_sd, pipe.vae_params["params"], strict=False)
+        params = dict(params)
+        params["codebook"] = np.asarray(cb)
+        save_msgpack({"params": params}, os.path.join(out, "vae.msgpack"))
+    else:
+        save_msgpack({"params": torch_to_flax_params(
+            vae_sd, pipe.vae_params["params"], strict=False)},
+            os.path.join(out, "vae.msgpack"))
     if spec.vocoder is not None:
         save_msgpack({"params": torch_to_flax_params(
             fold_weight_norm(load_subfolder_state_dict(src, "vocoder")),
