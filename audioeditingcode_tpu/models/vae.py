@@ -55,7 +55,7 @@ class Encoder(nn.Module):
                 x = jnp.pad(x, [(0, 0), (0, 1), (0, 1), (0, 0)])
                 x = nn.Conv(
                     out_ch, (3, 3), strides=(2, 2), padding="VALID", dtype=self.dtype,
-                    name=f"down_blocks_{i}_downsamplers_0",
+                    name=f"down_blocks_{i}_downsamplers_0_conv",
                 )(x)
         mid = cfg.block_out_channels[-1]
         x = ResnetBlock2D(mid, use_time_emb=False, norm_num_groups=cfg.norm_num_groups,
@@ -99,7 +99,7 @@ class Decoder(nn.Module):
             if not is_final:
                 x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
                 x = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
-                            name=f"up_blocks_{i}_upsamplers_0")(x)
+                            name=f"up_blocks_{i}_upsamplers_0_conv")(x)
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6, dtype=self.dtype,
                          name="conv_norm_out")(x)
         x = nn.silu(x)
