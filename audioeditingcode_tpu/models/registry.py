@@ -170,7 +170,7 @@ def _load_stable_audio(spec: ModelSpec, num_diffusion_steps: int,
         text_encoder = _try_t5_projected(spec, weights_dir, projection,
                                          projection_params) or text_encoder
 
-    return StableAudioPipeline(
+    pipe = StableAudioPipeline(
         model_id=spec.model_id,
         sched=solver,
         dit=dit,
@@ -183,6 +183,10 @@ def _load_stable_audio(spec: ModelSpec, num_diffusion_steps: int,
         sample_rate=spec.sample_rate,
         sample_size=L,
     )
+    # eager default-duration setup: the embeds must exist before any jitted
+    # denoiser trace (lazy creation under trace would leak tracers)
+    pipe.setup_duration()
+    return pipe
 
 
 def _init_projection_full(projection, rng, spec: ModelSpec,
