@@ -18,7 +18,12 @@ import numpy as np
 
 
 def set_reproducibility(seed: Optional[int]):
-    """Seed host RNGs; returns the JAX PRNG seed to use (random if None)."""
+    """Seed host RNGs; returns the JAX PRNG seed to use (random if None).
+
+    Also enables the persistent compilation cache (utils/jax_setup.py)."""
+    from ..utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
     if seed is None:
         seed = int.from_bytes(os.urandom(4), "little")
     random.seed(seed)

@@ -24,6 +24,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from audioeditingcode_tpu.utils.jax_setup import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from audioeditingcode_tpu.models.registry import load_model
     from audioeditingcode_tpu.editing.cfg import build_cfg_tensors
     from audioeditingcode_tpu.editing.invert import (
