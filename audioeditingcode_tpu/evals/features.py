@@ -92,16 +92,29 @@ class TransformersClapExtractor:
 
     def __init__(self, model_name_or_path: str = "laion/clap-htsat-unfused",
                  local_files_only: bool = True):
-        import torch
         from transformers import AutoProcessor, ClapModel
 
-        self.torch = torch
-        self.model = ClapModel.from_pretrained(
-            model_name_or_path, local_files_only=local_files_only
-        ).eval()
-        self.processor = AutoProcessor.from_pretrained(
+        model = ClapModel.from_pretrained(
             model_name_or_path, local_files_only=local_files_only
         )
+        processor = AutoProcessor.from_pretrained(
+            model_name_or_path, local_files_only=local_files_only
+        )
+        self._init_components(model, processor)
+
+    @classmethod
+    def from_components(cls, model, processor):
+        """Construct from in-memory model/processor (tests, custom configs)."""
+        self = cls.__new__(cls)
+        self._init_components(model, processor)
+        return self
+
+    def _init_components(self, model, processor):
+        import torch
+
+        self.torch = torch
+        self.model = model.eval()
+        self.processor = processor
         self.embed_dim = self.model.config.projection_dim
 
     def _prep(self, aud: np.ndarray, sr: int):

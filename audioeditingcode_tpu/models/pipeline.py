@@ -106,8 +106,13 @@ class LatentAudioPipeline:
             t = self.sched.timesteps[k]
             if cond is None or x_c is None:
                 return self.unet_eps(x_u, t, repeat_cond(uncond, x_u.shape[0])), None
+            # multi-prompt: broadcast the latent to the P cond prompts
+            # (reference expands xt for the cond call, inversion_utils.py:88-89)
+            P = max(cond.batch, x_c.shape[0])
+            if x_c.shape[0] == 1 and P > 1:
+                x_c = jnp.broadcast_to(x_c, (P,) + x_c.shape[1:])
             cu = repeat_cond(uncond, x_u.shape[0])
-            cc = repeat_cond(cond, x_c.shape[0])
+            cc = repeat_cond(cond, P)
             x = jnp.concatenate([x_u, x_c], axis=0)
             eps = self.unet_eps(x, t, concat_conds(cu, cc))
             return eps[: x_u.shape[0]], eps[x_u.shape[0]:]

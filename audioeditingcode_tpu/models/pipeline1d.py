@@ -148,8 +148,12 @@ class StableAudioPipeline:
             if cond is None or x_c is None:
                 x_in = solver.scale_input(k, x_u)
                 return self.dit_forward(x_in, t, repeat_cond(uncond, x_u.shape[0])), None
+            # multi-prompt: broadcast the latent to the P cond prompts
+            P = max(cond.batch, x_c.shape[0])
+            if x_c.shape[0] == 1 and P > 1:
+                x_c = jnp.broadcast_to(x_c, (P,) + x_c.shape[1:])
             cu = repeat_cond(uncond, x_u.shape[0])
-            cc = repeat_cond(cond, x_c.shape[0])
+            cc = repeat_cond(cond, P)
             x = jnp.concatenate([x_u, x_c], axis=0)
             x_in = solver.scale_input(k, x)
             eps = self.dit_forward(x_in, t, concat_conds(cu, cc))

@@ -128,3 +128,21 @@ def test_main_run_audioldm2_dual_stream(tmp_path, wav_file):
     ])
     import os
     assert os.path.exists(out)
+
+
+def test_main_run_multi_prompt_tstart(tmp_path, wav_file):
+    """Multi-prompt spatial CFG with per-prompt tstart and cutoff points
+    (the reference's multi-tstart mask-fix path, inversion_utils.py:307-315)."""
+    from audioeditingcode_tpu.cli import run
+
+    out = run.main([
+        "--model_id", "test/tiny-audioldm", "--init_aud", wav_file,
+        "--target_prompt", "a trumpet", "a violin",
+        "--tstart", "4", "3",
+        "--cfg_tar", "6", "8",
+        "--cutoff_points", "0.5",
+        "--num_diffusion_steps", "5",
+        "--results_path", str(tmp_path / "mp"), "--seed", "0",
+    ])
+    import os
+    assert os.path.exists(out)

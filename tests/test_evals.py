@@ -177,3 +177,54 @@ class TestTradeoffTables:
                                     100: {"orig": 2.0, "fma_pop": 3.1}})
         assert list(t["skip"]) == [100, 150]
         assert "fma_pop" in t.columns
+
+
+class TestClapOracle:
+    """The torch-CLAP oracle extractor's plumbing, on a tiny RANDOM-weight
+    CLAP (no checkpoint downloads — validates shapes/axes, not semantics)."""
+
+    @pytest.fixture(scope="class")
+    def clap_ext(self):
+        import warnings
+
+        warnings.filterwarnings("ignore")
+        from transformers import ClapConfig, ClapFeatureExtractor, ClapModel
+        from transformers.models.clap.configuration_clap import (
+            ClapAudioConfig,
+            ClapTextConfig,
+        )
+
+        from audioeditingcode_tpu.evals.features import TransformersClapExtractor
+
+        tc = ClapTextConfig(hidden_size=32, num_hidden_layers=2,
+                            num_attention_heads=2, intermediate_size=64,
+                            vocab_size=100)
+        ac = ClapAudioConfig(hidden_size=32, depths=[1, 1],
+                             num_attention_heads=[2, 2], num_mel_bins=64,
+                             spec_size=256, patch_embeds_hidden_size=16,
+                             window_size=4)
+        cfg = ClapConfig(text_config=tc.to_dict(), audio_config=ac.to_dict(),
+                         projection_dim=16)
+
+        class Proc:
+            fe = ClapFeatureExtractor()
+
+            def __call__(self, audios=None, sampling_rate=None, **kw):
+                return self.fe(audios, sampling_rate=sampling_rate,
+                               return_tensors="pt", truncation="rand_trunc")
+
+        return TransformersClapExtractor.from_components(ClapModel(cfg), Proc())
+
+    def test_embed_audio_shape_and_norm(self, clap_ext):
+        v = clap_ext.embed_audio(tone(440, 3.0), 16000)
+        assert v.shape == (16,)
+        assert np.isclose(np.linalg.norm(v), 1.0, atol=1e-4)
+
+    def test_stages_for_lpaps(self, clap_ext):
+        stages = clap_ext.stages(tone(440, 3.0), 16000)
+        assert 1 <= len(stages) <= 4
+        m = LPAPS(clap_ext)
+        d = m(tone(440, 3.0), tone(880, 3.0), 16000, 16000)
+        assert d > 0
+        assert m(tone(440, 3.0), tone(440, 3.0), 16000, 16000) == pytest.approx(
+            0.0, abs=1e-8)
