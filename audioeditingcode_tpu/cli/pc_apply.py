@@ -162,7 +162,9 @@ def run_pc_application(args, pipe, ex_args, eigdata, latents, xts, cfg_tar, eta)
     if args.fix_alpha is not None:
         m = np.zeros(np.asarray(latents[0]).shape, dtype=np.float32)
         patch = getattr(ex_args, "patch", None)
-        if patch is not None:
+        if patch is not None and len(patch) == 4:  # image: top/bottom/left/right
+            m[:, :, patch[0]: patch[1], patch[2]: patch[3]] = 1
+        elif patch is not None:  # audio: time-axis window with optional fade
             m[:, :, patch[0]: patch[1], :] = 1
             fl = args.fade_length
             if fl > 0:
