@@ -1,0 +1,205 @@
+"""Minimal production-style inference server for text-based audio editing.
+
+The reference is a research CLI; serving is a new first-class capability of
+this framework: one process loads a pipeline, compiles the edit program ONCE
+(params threaded as jit arguments, persistent compilation cache on), and
+answers HTTP requests with no per-request tracing. Stdlib-only (no web
+framework dependency).
+
+API:
+  GET  /healthz              -> {"status": "ok", "model": ..., "backend": ...}
+  POST /edit                 -> edited WAV bytes
+       JSON body: {"audio_b64": <base64 wav>, "target_prompt": str,
+                   "source_prompt": str = "", "tstart": int = S//2,
+                   "cfg_src": float = 3, "cfg_tar": float = 12, "seed": int}
+
+Run: python main_serve.py --model_id ... --num_diffusion_steps 50 --port 8080
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+from typing import Optional
+
+import numpy as np
+
+
+class EditService:
+    """Holds the pipeline + a compiled-edit cache keyed by static knobs."""
+
+    def __init__(self, model_id: str, num_diffusion_steps: int,
+                 weights_dir: Optional[str] = None, dtype: str = "bfloat16"):
+        import jax
+        import jax.numpy as jnp
+
+        from .utils.jax_setup import enable_compilation_cache
+
+        enable_compilation_cache()
+        from .models.registry import load_model, resolve_spec
+
+        self.jax = jax
+        self.jnp = jnp
+        self.model_id = model_id
+        self.steps = num_diffusion_steps
+        self.spec = resolve_spec(model_id)
+        if self.spec.family == "stable-audio":
+            raise NotImplementedError("serve currently targets the mel families")
+        self.pipe = load_model(
+            model_id, num_diffusion_steps, weights_dir=weights_dir,
+            dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
+        )
+        self.params = self.pipe.params_dict()
+        self._lock = threading.Lock()  # one edit at a time per chip
+        self._compiled = {}
+
+    def _edit_fn(self, tstart: int):
+        """Compiled edit program for a given tstart (cfg scales are traced
+        array inputs — no recompilation across requests)."""
+        key = tstart
+        if key in self._compiled:
+            return self._compiled[key]
+        jax, jnp, pipe = self.jax, self.jnp, self.pipe
+        from .editing.invert import (
+            inversion_forward_process,
+            inversion_reverse_process,
+            make_cfg_denoiser,
+        )
+
+        @jax.jit
+        def edit(params, w0, rng, cfg_src, cfg_tar, uncond, src, tgt):
+            p = pipe.bind(params)
+
+            def den(uc, c, scale):
+                return make_cfg_denoiser(
+                    p.make_eps_pair(uc, c),
+                    None if c is None else
+                    jnp.full((1,) + w0.shape[1:], 1.0) * scale,
+                )
+
+            fwd = den(uncond, src, cfg_src)
+            rev = den(uncond, tgt, cfg_tar)
+            _, zs, xts = inversion_forward_process(p.sched, fwd, w0, rng)
+            w_edit = inversion_reverse_process(p.sched, rev, xts, zs[:tstart])
+            x_dec = p.vae_decode(w_edit)
+            return p.decode_to_mel(x_dec)
+
+        self._compiled[key] = edit
+        return edit
+
+    def edit(self, wav_bytes: bytes, target_prompt: str, source_prompt: str = "",
+             tstart: Optional[int] = None, cfg_src: float = 3.0,
+             cfg_tar: float = 12.0, seed: int = 0):
+        """One edit request; returns (wav float32 (1, T), sample_rate)."""
+        import tempfile
+
+        from .utils.audio_io import load_audio
+
+        jnp = self.jnp
+        tstart = tstart if tstart is not None else self.steps // 2
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            f.write(wav_bytes)
+            f.flush()
+            x0, sr, _ = load_audio(f.name, self.pipe.mel_config, stft=True,
+                                   model_sr=self.pipe.get_sr())
+
+        with self._lock:
+            w0 = self.pipe.vae_encode(jnp.asarray(x0))
+            uncond = self.pipe.encode_text([""], negative=True)
+            src = self.pipe.encode_text([source_prompt]) if source_prompt else None
+            tgt = self.pipe.encode_text([target_prompt])
+            fn = self._edit_fn(int(tstart))
+            audio = fn(self.params, w0, self.jax.random.PRNGKey(seed),
+                       jnp.asarray(cfg_src, jnp.float32),
+                       jnp.asarray(cfg_tar, jnp.float32), uncond, src, tgt)
+        return np.asarray(audio), sr
+
+
+def _wav_bytes(audio: np.ndarray, sr: int) -> bytes:
+    from scipy.io import wavfile
+
+    buf = io.BytesIO()
+    a = np.clip(np.asarray(audio, np.float32), -1, 1)
+    if a.ndim == 2:
+        a = a.T
+    wavfile.write(buf, sr, (a * 32767.0).astype(np.int16))
+    return buf.getvalue()
+
+
+def make_server(service: EditService, host: str = "127.0.0.1", port: int = 8080):
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            print(f"[serve] {self.address_string()} {fmt % args}")
+
+        def _json(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                import jax
+
+                self._json(200, {"status": "ok", "model": service.model_id,
+                                 "backend": jax.default_backend(),
+                                 "steps": service.steps})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/edit":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n))
+                wav = base64.b64decode(req["audio_b64"])
+                audio, sr = service.edit(
+                    wav,
+                    target_prompt=req["target_prompt"],
+                    source_prompt=req.get("source_prompt", ""),
+                    tstart=req.get("tstart"),
+                    cfg_src=float(req.get("cfg_src", 3.0)),
+                    cfg_tar=float(req.get("cfg_tar", 12.0)),
+                    seed=int(req.get("seed", 0)),
+                )
+                body = _wav_bytes(audio, sr)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as e:  # surface request errors as 400s
+                self._json(400, {"error": str(e)})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="Audio-editing inference server")
+    p.add_argument("--model_id", default="cvssp/audioldm-s-full-v2")
+    p.add_argument("--num_diffusion_steps", type=int, default=50)
+    p.add_argument("--weights_dir", default=None)
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    args = p.parse_args(argv)
+
+    service = EditService(args.model_id, args.num_diffusion_steps,
+                          args.weights_dir, args.dtype)
+    server = make_server(service, args.host, args.port)
+    print(f"[serve] listening on {args.host}:{args.port} ({args.model_id})")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
