@@ -7,9 +7,24 @@ from .pc_drift import (
     apply_drift,
     PCStreamChoice,
 )
-from .sdedit import sdedit_loop
+from .sdedit import sdedit_loop, sdedit_loop_cosine
+from .solvers import CosineDPMSolver, DDIMSolver, as_solver
+from .generate import (
+    generation_loop,
+    inpaint_latents,
+    style_transfer_latents,
+    text_to_audio_latents,
+)
 
 __all__ = [
+    "sdedit_loop_cosine",
+    "CosineDPMSolver",
+    "DDIMSolver",
+    "as_solver",
+    "generation_loop",
+    "inpaint_latents",
+    "style_transfer_latents",
+    "text_to_audio_latents",
     "build_cfg_tensors",
     "inversion_forward_process",
     "inversion_reverse_process",
