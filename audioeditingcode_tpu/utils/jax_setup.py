@@ -27,6 +27,11 @@ def enable_compilation_cache() -> None:
     try:
         import jax
 
+        # TPU only: XLA:CPU caches AOT executables keyed without host machine
+        # features, so a cache written on one host can load (and SIGILL/hang)
+        # on another. TPU executables have no such host dependency.
+        if jax.default_backend() == "cpu":
+            return
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

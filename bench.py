@@ -41,37 +41,44 @@ def main():
     dtype = jnp.bfloat16 if dtype_s == "bfloat16" else jnp.float32
 
     # 10 s clip at 16 kHz: 1024 mel frames -> latent (1, 8, 256, 16)
-    latent_time = 256
+    latent_time = int(os.environ.get("BENCH_LATENT_TIME", "256"))
     pipe = load_model(model_id, steps, dtype=dtype, latent_time=latent_time)
 
     spec_shape = (1, pipe.unet.config.in_channels, latent_time,
                   64 // pipe.vae_pad_multiple)
     w0 = jax.random.normal(jax.random.PRNGKey(0), spec_shape, dtype=jnp.float32)
 
-    uncond = pipe.encode_text([""])
-    tgt = pipe.encode_text(["a jazzy saxophone solo"])
-    cfg_t, _ = build_cfg_tensors(spec_shape, ["a jazzy saxophone solo"], [12.0])
-
     tstart = steps // 2
-    params = pipe.params_dict()
 
-    # params are jit ARGUMENTS (closure-captured weights would be baked into
-    # the program as constants and blow up the compile payload)
+    # EVERYTHING host-built travels as jit ARGUMENTS — params, conditioning,
+    # CFG tensors and the schedule pytree. Closure-captured arrays become
+    # program constants, which blow up the compile payload and can hit slow
+    # per-execution paths on remote-compile backends.
+    bundle = {
+        "params": pipe.params_dict(),
+        "uncond": pipe.encode_text([""]),
+        "tgt": pipe.encode_text(["a jazzy saxophone solo"]),
+        "cfg_t": build_cfg_tensors(spec_shape, ["a jazzy saxophone solo"], [12.0])[0],
+        "sched": pipe.sched,
+    }
+
     @jax.jit
-    def edit(params, w0, rng):
-        p = pipe.bind(params)
-        denoise = p.make_denoiser(uncond, tgt, cfg_t)
+    def edit(bundle, w0, rng):
+        # bind the traced schedule too, so the denoiser's timestep lookups
+        # come from the argument pytree rather than a host constant
+        p = pipe.bind({**bundle["params"], "sched": bundle["sched"]})
+        denoise = p.make_denoiser(bundle["uncond"], bundle["tgt"], bundle["cfg_t"])
         _, zs, xts = inversion_forward_process(p.sched, denoise, w0, rng)
         return inversion_reverse_process(p.sched, denoise, xts, zs[:tstart])
 
     rng = jax.random.PRNGKey(1)
     # warmup/compile
-    edit(params, w0, rng).block_until_ready()
+    edit(bundle, w0, rng).block_until_ready()
 
     n_rep = 3
     t0 = time.perf_counter()
     for i in range(n_rep):
-        out = edit(params, w0, jax.random.fold_in(rng, i))
+        out = edit(bundle, w0, jax.random.fold_in(rng, i))
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / n_rep
 
