@@ -191,45 +191,56 @@ def main(argv=None):
 
         w_edit = ddim_edit(pipe.params_dict(), w0)
     else:
-        empty = pipe.encode_text([""], negative=True)
         T = int(args.num_diffusion_steps - skip.min())
         multi = len(args.target_prompt) > 1
-        tstart_j = jnp.asarray(tstart)
+
+        # every host-built array travels as a jit ARGUMENT (params,
+        # conditioning, CFG tensors, the solver/schedule pytree) — closure
+        # constants bloat the program and can hit slow remote-backend paths
+        bundle = {
+            "params": pipe.params_dict(),
+            "sched": pipe.sched,
+            "empty": pipe.encode_text([""], negative=True),
+            "uncond": uncond,
+            "src": src,
+            "tgt": tgt,
+            "cfg_src_t": cfg_src_t,
+            "cfg_tar_t": cfg_tar_t,
+            "masks": masks if multi else None,
+            "tstart": jnp.asarray(tstart) if multi else None,
+        }
 
         if stable_audio:
             # thread the 2nd-order solver history from the forward pass into
             # the reverse pass (reference extra_info, inversion_utils.py:129,219)
             @jax.jit
-            def edit(params, w0, rng):
-                p = pipe.bind(params)
-                fwd_den = p.make_denoiser(empty, src, cfg_src_t)
-                rev_den = p.make_denoiser(uncond, tgt, cfg_tar_t)
+            def edit(b, w0, rng):
+                p = pipe.bind({**b["params"], "sched": b["sched"]})
+                fwd_den = p.make_denoiser(b["empty"], b["src"], b["cfg_src_t"])
+                rev_den = p.make_denoiser(b["uncond"], b["tgt"], b["cfg_tar_t"])
                 _, zs, xts, extras = inversion_forward_process(
                     p.sched, fwd_den, w0, rng, eta=args.eta,
                     numerical_fix=args.numerical_fix, return_extras=True,
                 )
                 return inversion_reverse_process(
                     p.sched, rev_den, xts, zs[:T], eta=args.eta,
-                    tstart=tstart_j if multi else None,
-                    fix_alpha=args.fix_alpha,
-                    masks=masks if multi else None,
-                    init_history=extras[T - 1],
+                    tstart=b["tstart"], fix_alpha=args.fix_alpha,
+                    masks=b["masks"], init_history=extras[T - 1],
                 )
         else:
             @jax.jit
-            def edit(params, w0, rng):
-                p = pipe.bind(params)
-                fwd_den = p.make_denoiser(empty, src, cfg_src_t)
-                rev_den = p.make_denoiser(uncond, tgt, cfg_tar_t)
+            def edit(b, w0, rng):
+                p = pipe.bind({**b["params"], "sched": b["sched"]})
+                fwd_den = p.make_denoiser(b["empty"], b["src"], b["cfg_src_t"])
+                rev_den = p.make_denoiser(b["uncond"], b["tgt"], b["cfg_tar_t"])
                 _, zs, xts = inversion_forward_process(
                     p.sched, fwd_den, w0, rng, eta=args.eta,
                     numerical_fix=args.numerical_fix,
                 )
                 return inversion_reverse_process(
                     p.sched, rev_den, xts, zs[:T], eta=args.eta,
-                    tstart=tstart_j if multi else None,
-                    fix_alpha=args.fix_alpha,
-                    masks=masks if multi else None,
+                    tstart=b["tstart"], fix_alpha=args.fix_alpha,
+                    masks=b["masks"],
                 )
 
         from ..utils.profiling import PhaseTimer, trace
@@ -237,7 +248,7 @@ def main(argv=None):
         timer = PhaseTimer()
         n_steps = int(args.num_diffusion_steps + T)
         with trace(args.profile_dir), timer.phase("edit", steps=n_steps):
-            w_edit = jax.block_until_ready(edit(pipe.params_dict(), w0, rng))
+            w_edit = jax.block_until_ready(edit(bundle, w0, rng))
         timer.report()
 
     # decode + vocode: ONE jitted graph (BASELINE: fused decode path),

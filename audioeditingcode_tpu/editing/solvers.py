@@ -21,11 +21,11 @@ history the reference threads via ``extra_info``
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 from ..schedulers.ddim import (
     DiffusionSchedule,
@@ -44,15 +44,16 @@ from ..schedulers.cosine_dpm import (
 )
 
 
-@dataclasses.dataclass(frozen=True)
-class DDIMSolver:
-    """Eta-DDIM numerics (AudioLDM/AudioLDM2/TANGO/SD/CelebA-HQ families)."""
+class DDIMSolver(struct.PyTreeNode):
+    """Eta-DDIM numerics (AudioLDM/AudioLDM2/TANGO/SD/CelebA-HQ families).
+
+    A pytree (schedule arrays are leaves) so solvers can travel as jit
+    ARGUMENTS rather than closure constants."""
 
     sched: DiffusionSchedule
-    eta: float = 1.0
-    numerical_fix: bool = True
-
-    carries_history: bool = False
+    eta: float = struct.field(pytree_node=False, default=1.0)
+    numerical_fix: bool = struct.field(pytree_node=False, default=True)
+    carries_history: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_inference_steps(self) -> int:
@@ -81,15 +82,14 @@ class DDIMSolver:
         return state, xtm1
 
 
-@dataclasses.dataclass(frozen=True)
-class CosineDPMSolver:
+class CosineDPMSolver(struct.PyTreeNode):
     """SDE-DPM-Solver++ (order 2) numerics — the Stable Audio family."""
 
     sched: CosineDPMSchedule
-    numerical_fix: bool = True
-    first_order: bool = False  # force order 1 (reference --first_order flag)
-
-    carries_history: bool = True
+    numerical_fix: bool = struct.field(pytree_node=False, default=True)
+    # force order 1 (reference --first_order flag)
+    first_order: bool = struct.field(pytree_node=False, default=False)
+    carries_history: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def num_inference_steps(self) -> int:
