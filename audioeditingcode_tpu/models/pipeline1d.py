@@ -213,8 +213,18 @@ class StableAudioPipeline:
 
     # ------------------------------------------------- param threading
     def params_dict(self):
-        """Param pytrees for jit-argument threading (see LatentAudioPipeline)."""
-        return {"dit_params": self.dit_params, "vae_params": self.vae_params}
+        """Param pytrees for jit-argument threading (see LatentAudioPipeline).
+
+        Includes the duration-conditioning state (duration embeds, global
+        token, rotary tables) so jitted programs carry NO host-built closure
+        constants at all."""
+        return {
+            "dit_params": self.dit_params,
+            "vae_params": self.vae_params,
+            "_duration_embeds": self._duration_embeds,
+            "_global_states": self._global_states,
+            "_rotary": self._rotary,
+        }
 
     def bind(self, params) -> "StableAudioPipeline":
         return dataclasses.replace(self, **params)
