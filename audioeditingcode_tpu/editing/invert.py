@@ -29,7 +29,7 @@ PipelineWrapper seam (SURVEY.md §1).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

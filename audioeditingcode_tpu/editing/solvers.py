@@ -21,7 +21,7 @@ history the reference threads via ``extra_info``
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +35,6 @@ from ..schedulers.ddim import (
 )
 from ..schedulers.cosine_dpm import (
     CosineDPMSchedule,
-    SolverState,
     init_solver_state,
     recover_noise,
     sample_xts_from_x0_sigma,

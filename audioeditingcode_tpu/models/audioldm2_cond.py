@@ -17,10 +17,8 @@ weights convert 1:1 from the torch checkpoint (fused c_attn layout).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
-import numpy as np
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 

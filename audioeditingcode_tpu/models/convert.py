@@ -19,7 +19,6 @@ with torch installed).
 
 from __future__ import annotations
 
-import re
 from typing import Dict, Iterable, Mapping, Tuple
 
 import numpy as np

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..editing.invert import make_cfg_denoiser
 from ..editing.solvers import CosineDPMSolver
-from .dit1d import DiT1DConfig, StableAudioDiT, rotary_tables
+from .dit1d import StableAudioDiT, rotary_tables
 from .oobleck import AutoencoderOobleck
 from .projection import StableAudioProjectionModel
 from .text_encoders import TextCond, concat_conds, repeat_cond

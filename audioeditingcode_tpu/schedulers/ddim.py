@@ -18,7 +18,6 @@ default ``double_precision=False`` path.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
