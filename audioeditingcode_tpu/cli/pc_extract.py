@@ -67,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--dp", type=int, default=1,
                    help="shard the n_evs power-iteration batch over 'dp'")
+    p.add_argument("--ts_chunk", type=int, default=1,
+                   help="run this many timesteps' power iterations in one "
+                        "batched (vmapped) program; with --dp the chunk axis "
+                        "shards over the mesh. Each timestep's iteration is "
+                        "independent given the precomputed trajectory "
+                        "(reference main_pc_extract_inv.py:199-243).")
     return p
 
 
@@ -205,48 +211,79 @@ def run_pc_extraction(args, pipe, w0, rng, cfg_tar, save_path, image_name, seed)
     mask_j = jnp.asarray(mask)
 
     n_ev = args.n_evs
+    ts_chunk = max(1, int(getattr(args, "ts_chunk", 1)))
     uncond_ev = repeat_cond(uncond, n_ev)
     text_ev = repeat_cond(text, n_ev)
 
     @jax.jit
-    def traj_step(params, xt, k, latent):
+    def traj_scan(params, x_start, lats):
+        """Full deterministic trajectory in ONE scan (2 UNet fwd per step),
+        returning every xt and x0_pred — the power iterations only need these
+        precomputed states (reference main_pc_extract_inv.py:199-243 runs
+        forward_directional per step in Python)."""
         p = pipe.bind(params)
         eps_pair = p.make_eps_pair(uncond, text)
-        return forward_directional(p.sched, eps_pair, xt, k, latent, cfg_tar,
-                                   eta=args.eta)
+
+        def step(xt, inp):
+            k, lat = inp
+            xt_m1, x0_pred = forward_directional(
+                p.sched, eps_pair, xt, k, lat, cfg_tar, eta=args.eta)
+            return xt_m1, (xt_m1, x0_pred)
+
+        _, (xts_seq, x0_preds) = jax.lax.scan(
+            step, x_start, (jnp.arange(S), lats))
+        return xts_seq, x0_preds
 
     mesh = getattr(args, "_mesh", None)
 
-    def _dp_shard(x):
+    def _shard(x, axis_name="dp"):
         if mesh is None:
             return x
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        sh = NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1))))
+        sh = NamedSharding(mesh, P(axis_name, *([None] * (x.ndim - 1))))
         return jax.lax.with_sharding_constraint(x, sh)
 
-    @jax.jit
-    def eig_step(params, xt, k, latent, x0_pred, r):
+    def eig_one(params, xt, k, latent, x0_pred, r, dp_on_ev: bool):
+        """Power iteration for ONE timestep with the n_ev batch fused into
+        the UNet batch dimension."""
         p = pipe.bind(params)
         eps_pair_ev = p.make_eps_pair(uncond_ev, text_ev)
-        xt_ev = _dp_shard(jnp.repeat(xt, n_ev, axis=0))
-        x0_ev = _dp_shard(jnp.repeat(x0_pred, n_ev, axis=0))
-        lat_ev = _dp_shard(jnp.repeat(latent, n_ev, axis=0))
-        return get_eigenvectors(
+        xt_ev = jnp.repeat(xt, n_ev, axis=0)
+        x0_ev = jnp.repeat(x0_pred, n_ev, axis=0)
+        lat_ev = jnp.repeat(latent, n_ev, axis=0)
+        if dp_on_ev:
+            xt_ev, x0_ev, lat_ev = map(_shard, (xt_ev, x0_ev, lat_ev))
+        res = get_eigenvectors(
             p.sched, eps_pair_ev, xt_ev, lat_ev, mask_j, k, x0_ev, r,
             mode=PCStreamChoice.BOTH, const=args.const, cfg_tar=cfg_tar,
             iters=args.iters, eta=args.eta, n_ev=n_ev,
         )
+        # drop the static snapshot_iters tuple: vmap maps array leaves only
+        return res._asdict() | {"snapshot_iters": None}
+
+    @jax.jit
+    def eig_step(params, xt, k, latent, x0_pred, r):
+        return eig_one(params, xt, k, latent, x0_pred, r, dp_on_ev=True)
+
+    @jax.jit
+    def eig_chunk(params, xt_c, k_c, lat_c, x0_c, r_c):
+        """ts_chunk timesteps' power iterations as one batched program —
+        independent given the trajectory, so the chunk axis vmaps and shards
+        over the 'dp' mesh axis (near-linear multi-chip scaling at n_ev=1)."""
+        xt_c, lat_c, x0_c = map(_shard, (xt_c, lat_c, x0_c))
+        return jax.vmap(
+            lambda xt, k, lat, x0p, r: eig_one(params, xt, k, lat, x0p, r,
+                                               dp_on_ev=False)
+        )(xt_c, k_c, lat_c, x0_c, r_c)
 
     ckpt_path = os.path.join(save_path, image_name + ".npz")
 
     model_params = pipe.params_dict()
-    xt = latents[0]
     prev_pc = None
     eig_ts, eig_its = [], []
     eig_vecs, eig_vals, interm_vecs, interm_vals, norm_factors = [], [], [], [], []
     corrs, in_corrs, in_norms = [], [], []
-    xts_list = [np.asarray(xt)]
     snaps = snapshot_iterations(args.iters)
     timesteps = np.asarray(pipe.sched.timesteps)
 
@@ -267,41 +304,78 @@ def run_pc_extraction(args, pipe, w0, rng, cfg_tar, save_path, image_name, seed)
             np.asarray(xts_list),
         )
 
-    for it in range(S):
-        k = jnp.asarray(it)
-        xt_m1, x0_pred = traj_step(model_params, xt, k, latents[it + 1])
+    # Phase A — the whole deterministic trajectory in one compiled scan.
+    xts_seq, x0_preds = traj_scan(model_params, latents[0], latents[1:])
+    xts_np = np.asarray(xts_seq)
+    x0_np = np.asarray(x0_preds)
+    xts_list = [np.asarray(latents[0])] + list(xts_np)
+    _save()  # trajectory checkpoint before the expensive extraction phase
 
-        if not args.dry and drift_start_it <= it < drift_end_it:
-            rng, r_eig = jax.random.split(rng)
-            res = eig_step(model_params, xt, k, latents[it + 1], x0_pred, r_eig)
-            vecs = np.asarray(res.eigvecs)
-            corr = None
-            if it > drift_start_it and prev_pc is not None:
-                corr = np.sum(prev_pc.reshape(n_ev, -1) * vecs.reshape(n_ev, -1), axis=1)
-                for ev in range(n_ev):
-                    if corr[ev] <= -args.corr_to_swap:
-                        vecs[ev] *= -1
-                        corr[ev] *= -1
-                        print(f"swapped eigvec {ev + 1}!")
-                corrs.append(corr)
-            prev_pc = vecs
-            t_val = int(timesteps[it])
-            eig_ts.append(t_val)
-            eig_its.append(it)
-            eig_vecs.append(vecs)
-            eig_vals.append(np.asarray(res.eigvals))
-            interm_vecs.append(np.asarray(res.interm_eigvecs))
-            interm_vals.append(np.asarray(res.interm_eigvals))
-            norm_factors.append(float(np.sqrt(pipe.sched.step_alpha_prod[it])))
-            in_corrs.append(np.asarray(res.in_corrs))
-            in_norms.append(np.asarray(res.in_norms))
+    # Phase B — power iterations over the drift window. Each timestep only
+    # needs its precomputed (xt, latent, x0_pred), so ts_chunk of them run as
+    # one batched program, sharded over the 'dp' mesh axis.
+    window = [] if args.dry else [
+        it for it in range(S) if drift_start_it <= it < drift_end_it
+    ]
+    keys = []
+    for _ in window:  # same split order as a sequential loop
+        rng, r_eig = jax.random.split(rng)
+        keys.append(r_eig)
 
-        xt = xt_m1
-        xts_list.append(np.asarray(xt))
-        if it % 10 == 0:
-            _save()
+    def xt_at(it):  # state BEFORE step it
+        return xts_list[it]
+
+    def record(it, vecs, res_np):
+        nonlocal prev_pc
+        corr = None
+        if it > drift_start_it and prev_pc is not None:
+            corr = np.sum(prev_pc.reshape(n_ev, -1) * vecs.reshape(n_ev, -1),
+                          axis=1)
+            for ev in range(n_ev):
+                if corr[ev] <= -args.corr_to_swap:
+                    vecs[ev] *= -1
+                    corr[ev] *= -1
+                    print(f"swapped eigvec {ev + 1}!")
+            corrs.append(corr)
+        prev_pc = vecs
+        eig_ts.append(int(timesteps[it]))
+        eig_its.append(it)
+        eig_vecs.append(vecs)
+        eig_vals.append(res_np["eigvals"])
+        interm_vecs.append(res_np["interm_eigvecs"])
+        interm_vals.append(res_np["interm_eigvals"])
+        norm_factors.append(float(np.sqrt(pipe.sched.step_alpha_prod[it])))
+        in_corrs.append(res_np["in_corrs"])
+        in_norms.append(res_np["in_norms"])
+
+    for start in range(0, len(window), ts_chunk):
+        chunk = window[start: start + ts_chunk]
+        if ts_chunk == 1:
+            it = chunk[0]
+            res = eig_step(model_params, xt_at(it), jnp.asarray(it),
+                           latents[it + 1], x0_np[it], keys[start])
+            res_np = {n: np.asarray(v) for n, v in res.items()
+                      if v is not None}
+            record(it, res_np.pop("eigvecs"), res_np)
+        else:
+            # pad the tail chunk so every dispatch reuses one compiled shape
+            pad = chunk + [chunk[-1]] * (ts_chunk - len(chunk))
+            xt_c = jnp.asarray(np.stack([xt_at(i) for i in pad]))
+            k_c = jnp.asarray(np.asarray(pad))
+            lat_c = latents[jnp.asarray([i + 1 for i in pad])]
+            x0_c = jnp.asarray(x0_np[np.asarray(pad)])
+            r_c = jnp.stack(
+                [keys[start + min(j, len(chunk) - 1)]
+                 for j in range(ts_chunk)])
+            res = eig_chunk(model_params, xt_c, k_c, lat_c, x0_c, r_c)
+            res_host = {n: np.asarray(v) for n, v in res.items()
+                        if v is not None}
+            for j, it in enumerate(chunk):
+                res_np = {n: v[j] for n, v in res_host.items()}
+                record(it, res_np.pop("eigvecs"), res_np)
+        _save()
     _save()
-    return ckpt_path, xt
+    return ckpt_path, jnp.asarray(xts_list[-1])
 
 
 if __name__ == "__main__":

@@ -72,14 +72,16 @@ def main():
         return inversion_reverse_process(p.sched, denoise, xts, zs[:tstart])
 
     rng = jax.random.PRNGKey(1)
-    # warmup/compile
-    edit(bundle, w0, rng).block_until_ready()
+    # warmup/compile (np.asarray forces a real device->host read: on the
+    # axon remote backend block_until_ready alone can return before the
+    # execution has actually run)
+    np.asarray(edit(bundle, w0, rng))
 
     n_rep = 3
     t0 = time.perf_counter()
     for i in range(n_rep):
-        out = edit(bundle, w0, jax.random.fold_in(rng, i))
-    out.block_until_ready()
+        out = np.asarray(edit(bundle, w0, jax.random.fold_in(rng, i)))
+    assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
     dt = (time.perf_counter() - t0) / n_rep
 
     # one edit = steps (forward) + tstart (reverse) denoiser steps

@@ -116,6 +116,39 @@ def test_pc_extract_and_apply(wav_file, tmp_path):
     assert "_RAND" in outs2[0]
 
 
+def test_pc_extract_ts_chunk_matches_sequential(wav_file, tmp_path):
+    """--ts_chunk batches independent timesteps' power iterations into one
+    vmapped program; results must match the sequential path (same RNG split
+    order), including the padded tail chunk."""
+    import numpy as np
+
+    from audioeditingcode_tpu.cli.pc_extract import main as extract
+    from audioeditingcode_tpu.editing.pcdata import load_extraction
+
+    base = [
+        "--model_id", "test/tiny-audioldm",
+        "--init_aud", wav_file,
+        "--num_diffusion_steps", "6",
+        "--drift_start", "5", "--drift_end", "2",  # 3-timestep window
+        "--iters", "4",
+        "--n_evs", "2",
+        "--seed", "7",
+        "--wandb_disable",
+    ]
+    seq = load_extraction(extract(
+        base + ["--results_path", str(tmp_path / "seq")])[: -len(".npz")])
+    chk = load_extraction(extract(
+        base + ["--results_path", str(tmp_path / "chk"), "--ts_chunk", "2"]
+    )[: -len(".npz")])
+
+    assert list(seq["eig_ts"]) == list(chk["eig_ts"])
+    np.testing.assert_allclose(seq["eig_vecs"], chk["eig_vecs"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(seq["eig_vals"], chk["eig_vals"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(seq["xts"], chk["xts"], rtol=1e-5, atol=1e-6)
+
+
 def test_main_run_audioldm2_dual_stream(tmp_path, wav_file):
     """Dual-cross-attention family end-to-end through the edit CLI."""
     from audioeditingcode_tpu.cli import run
