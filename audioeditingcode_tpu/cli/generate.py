@@ -5,7 +5,9 @@ Flag-compatible with the reference's vendored ``python -m audioldm`` CLI
 prompt, ``-f`` source file (presence switches to style transfer),
 ``--transfer_strength``, ``--duration``, ``--guidance_scale``,
 ``--ddim_steps``, ``--n_candidate_gen_per_text``, plus ``--mode inpaint``
-with a time-window mask.
+with a time-window mask and ``--mode sr`` (super-resolution = regenerate a
+mel-frequency band, reference pipeline.py:249-301's
+``freq_mask_ratio_start_and_end``).
 """
 
 from __future__ import annotations
@@ -35,7 +37,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-f", "--file_path", type=str, default=None,
                    help="source wav: presence switches to style transfer")
     p.add_argument("--mode", type=str, default=None,
-                   choices=[None, "generation", "transfer", "inpaint"])
+                   choices=[None, "generation", "transfer", "inpaint", "sr"])
     p.add_argument("--transfer_strength", type=float, default=0.5)
     p.add_argument("-s", "--seed", type=int, default=42)
     p.add_argument("--model_id", type=str, default="cvssp/audioldm-s-full-v2")
@@ -46,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ddim_eta", type=float, default=1.0)
     p.add_argument("--inpaint_window", type=float, nargs=2, default=None,
                    help="seconds [start, end] to regenerate (inpaint mode)")
+    p.add_argument("--time_mask_ratio", type=float, nargs=2, default=None,
+                   help="fraction [start, end] of the time axis to "
+                        "regenerate (reference time_mask_ratio_start_and_end)")
+    p.add_argument("--freq_mask_ratio", type=float, nargs=2, default=None,
+                   help="fraction [start, end] of the mel-bin axis to "
+                        "regenerate; sr mode defaults to 0.75 1.0 (reference "
+                        "freq_mask_ratio_start_and_end)")
     p.add_argument("--save_path", type=str, default="./output")
     p.add_argument("--weights_dir", type=str, default=None)
     p.add_argument("--dtype", type=str, default="float32",
@@ -111,14 +120,23 @@ def main(argv=None):
             w = jax.jit(lambda mp, r: style_transfer_latents(
                 pipe.sched, make_denoise(pipe.bind(mp)), w0, r,
                 args.transfer_strength, eta=args.ddim_eta))(model_params, rng)
-        else:  # inpaint
+        else:  # inpaint / sr: regenerate the union of the masked regions
+            if mode == "sr" and args.freq_mask_ratio is None:
+                args.freq_mask_ratio = [0.75, 1.0]
             mask = np.zeros(w0.shape, np.float32)
-            if args.inpaint_window is None:
-                mask[...] = 1.0
-            else:
+            lat_t, lat_f = w0.shape[2], w0.shape[3]
+            if args.inpaint_window is not None:
                 f0 = int(args.inpaint_window[0] * 102.4 / pipe.vae_pad_multiple)
                 f1 = int(args.inpaint_window[1] * 102.4 / pipe.vae_pad_multiple)
                 mask[:, :, f0:f1, :] = 1.0
+            if args.time_mask_ratio is not None:
+                t0, t1 = (int(r * lat_t) for r in args.time_mask_ratio)
+                mask[:, :, t0:t1, :] = 1.0
+            if args.freq_mask_ratio is not None:
+                b0, b1 = (int(r * lat_f) for r in args.freq_mask_ratio)
+                mask[:, :, :, b0:b1] = 1.0
+            if not mask.any():
+                mask[...] = 1.0
             w = jax.jit(lambda mp, r: inpaint_latents(
                 pipe.sched, make_denoise(pipe.bind(mp)), w0, jnp.asarray(mask),
                 r, eta=args.ddim_eta))(model_params, rng)

@@ -83,3 +83,20 @@ class TestGenerateCLI:
             "--transfer_strength", "0.6", "--save_path", str(tmp_path / "o"),
         ])
         assert os.path.exists(outs[0])
+
+    def test_super_resolution(self, tmp_path):
+        """--mode sr regenerates the upper mel band (reference
+        pipeline.py:249-301, freq_mask_ratio default (0.75, 1.0))."""
+        from scipy.io import wavfile
+
+        from audioeditingcode_tpu.cli.generate import main
+
+        t = np.arange(16000, dtype=np.float32) / 16000
+        p = tmp_path / "src.wav"
+        wavfile.write(p, 16000, (0.4 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16))
+        outs = main([
+            "-t", "a violin melody", "-f", str(p), "--mode", "sr",
+            "--model_id", "test/tiny-audioldm", "--ddim_steps", "5",
+            "--save_path", str(tmp_path / "sr"),
+        ])
+        assert os.path.exists(outs[0])
