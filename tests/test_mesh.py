@@ -112,3 +112,31 @@ def test_cli_mesh_flags(tmp_path):
     ])
     import os
     assert os.path.exists(out)
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 virtual devices")
+def test_pc_extract_ts_chunk_shards_over_dp(tmp_path):
+    """Timestep-chunked PC extraction with the chunk axis sharded over a
+    4-way dp mesh runs end-to-end and writes a loadable checkpoint."""
+    import numpy as np
+
+    from audioeditingcode_tpu.cli.pc_extract import main as extract
+    from audioeditingcode_tpu.editing.pcdata import load_extraction
+    from audioeditingcode_tpu.utils.audio_io import write_wav
+
+    sr = 16000
+    t = np.arange(sr // 2, dtype=np.float32) / sr
+    p = str(tmp_path / "clip.wav")
+    write_wav(p, (0.4 * np.sin(2 * np.pi * 330 * t))[None], sr)
+
+    ckpt = extract([
+        "--model_id", "test/tiny-audioldm", "--init_aud", p,
+        "--num_diffusion_steps", "6",
+        "--drift_start", "6", "--drift_end", "2",  # 4-timestep window
+        "--iters", "3", "--ts_chunk", "4", "--dp", "4",
+        "--results_path", str(tmp_path / "pc"),
+        "--seed", "3", "--wandb_disable",
+    ])
+    loaded = load_extraction(ckpt[: -len(".npz")])
+    assert len(loaded["eigdata"]) == 4
+    assert np.isfinite(loaded["eig_vecs"]).all()
