@@ -33,22 +33,25 @@ _MIN_SEQ_FOR_KERNEL = 2048
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
+    # Matmul INPUTS stay in the model dtype (bf16 on the perf path — the
+    # MXU runs f32xf32 at ~1/8 the bf16 rate on v5e); accumulation and the
+    # softmax run in f32 (preferred_element_type), the standard recipe.
+    q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # (bq, d)
     k = k_ref[0]  # (S, d)
     v = v_ref[0]
     s = jax.lax.dot_general(
-        q, k.astype(jnp.float32),
+        q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (bq, S)
+    )  # (bq, S) f32
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
-        p, v.astype(jnp.float32),
+        p.astype(v.dtype), v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (bq, d)
+    )  # (bq, d) f32
     o_ref[0] = (o / denom).astype(o_ref.dtype)
 
 
