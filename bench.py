@@ -9,7 +9,8 @@ AudioLDM-s-shaped latent for a 10 s clip (latent (1, 8, 256, 16)), batch 2
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
 baseline is the BASELINE.json north star of >=40 UNet steps/sec/chip.
 
-Env overrides: BENCH_MODEL (default cvssp/audioldm-s-full-v2 architecture),
+Env overrides: BENCH_MODEL (default cvssp/audioldm2-music — the reference
+CLIs' default model; cvssp/audioldm-s-full-v2 also measured in PERF_NOTES),
 BENCH_DTYPE (bfloat16|float32, default bfloat16), BENCH_STEPS (default 200).
 """
 
@@ -35,7 +36,7 @@ def main():
         inversion_reverse_process,
     )
 
-    model_id = os.environ.get("BENCH_MODEL", "cvssp/audioldm-s-full-v2")
+    model_id = os.environ.get("BENCH_MODEL", "cvssp/audioldm2-music")
     dtype_s = os.environ.get("BENCH_DTYPE", "bfloat16")
     steps = int(os.environ.get("BENCH_STEPS", "200"))
     dtype = jnp.bfloat16 if dtype_s == "bfloat16" else jnp.float32
