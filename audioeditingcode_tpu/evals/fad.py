@@ -15,7 +15,6 @@ with the matrix square root via eigendecomposition (symmetric PSD path).
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
 
 import numpy as np
 

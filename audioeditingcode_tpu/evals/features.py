@@ -145,8 +145,6 @@ class TransformersClapExtractor:
         return (v / (np.linalg.norm(v) + 1e-8)).astype(np.float32)
 
     def embed_text(self, texts: Sequence[str]) -> np.ndarray:
-        from transformers import AutoTokenizer
-
         with self.torch.no_grad():
             toks = self.processor(text=list(texts), return_tensors="pt", padding=True)
             emb = self.model.get_text_features(**toks).numpy()

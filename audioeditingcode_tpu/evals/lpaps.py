@@ -12,7 +12,7 @@ with ``normalize_tensor(x) = x / sqrt(sum_c x^2)`` (evals/lpaps.py:10-12) and
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

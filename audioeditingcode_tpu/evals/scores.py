@@ -21,7 +21,6 @@ import re
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
-import numpy as np
 
 from ..utils.audio_io import read_wav
 from .clap_consistency import CLAPTextConsistencyMetric

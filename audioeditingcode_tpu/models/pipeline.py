@@ -17,7 +17,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Callable, List, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from ..editing.invert import make_cfg_denoiser
