@@ -45,8 +45,7 @@ class EditService:
         self.model_id = model_id
         self.steps = num_diffusion_steps
         self.spec = resolve_spec(model_id)
-        if self.spec.family == "stable-audio":
-            raise NotImplementedError("serve currently targets the mel families")
+        self.is_stable_audio = self.spec.family == "stable-audio"
         self.pipe = load_model(
             model_id, num_diffusion_steps, weights_dir=weights_dir,
             dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32,
@@ -68,6 +67,8 @@ class EditService:
             make_cfg_denoiser,
         )
 
+        stable_audio = self.is_stable_audio
+
         @jax.jit
         def edit(params, w0, rng, cfg_src, cfg_tar, uncond, src, tgt):
             p = pipe.bind(params)
@@ -81,8 +82,18 @@ class EditService:
 
             fwd = den(uncond, src, cfg_src)
             rev = den(uncond, tgt, cfg_tar)
-            _, zs, xts = inversion_forward_process(p.sched, fwd, w0, rng)
-            w_edit = inversion_reverse_process(p.sched, rev, xts, zs[:tstart])
+            if stable_audio:
+                # 2nd-order solver history threads from the forward pass
+                # into the reverse pass (reference extra_info,
+                # inversion_utils.py:129,219)
+                _, zs, xts, extras = inversion_forward_process(
+                    p.sched, fwd, w0, rng, return_extras=True)
+                w_edit = inversion_reverse_process(
+                    p.sched, rev, xts, zs[:tstart],
+                    init_history=extras[tstart - 1])
+            else:
+                _, zs, xts = inversion_forward_process(p.sched, fwd, w0, rng)
+                w_edit = inversion_reverse_process(p.sched, rev, xts, zs[:tstart])
             x_dec = p.vae_decode(w_edit)
             return p.decode_to_mel(x_dec)
 
@@ -102,19 +113,33 @@ class EditService:
         with tempfile.NamedTemporaryFile(suffix=".wav") as f:
             f.write(wav_bytes)
             f.flush()
-            x0, sr, _ = load_audio(f.name, self.pipe.mel_config, stft=True,
-                                   model_sr=self.pipe.get_sr())
+            x0, sr, duration = load_audio(
+                f.name, self.pipe.mel_config, stft=not self.is_stable_audio,
+                model_sr=self.pipe.get_sr())
 
         with self._lock:
-            w0 = self.pipe.vae_encode(jnp.asarray(x0))
+            rng = self.jax.random.PRNGKey(seed)
+            if self.is_stable_audio:
+                # per-request duration conditioning; the state rides
+                # params_dict() so the compiled program is reused
+                max_s = self.pipe.audio_vae_length / self.pipe.sample_rate
+                self.pipe.setup_duration(0.0, min(duration, max_s))
+                self.params = self.pipe.params_dict()
+                rng, enc_rng = self.jax.random.split(rng)
+                w0 = self.pipe.vae_encode(jnp.asarray(x0), rng=enc_rng)
+            else:
+                w0 = self.pipe.vae_encode(jnp.asarray(x0))
             uncond = self.pipe.encode_text([""], negative=True)
             src = self.pipe.encode_text([source_prompt]) if source_prompt else None
             tgt = self.pipe.encode_text([target_prompt])
             fn = self._edit_fn(int(tstart))
-            audio = fn(self.params, w0, self.jax.random.PRNGKey(seed),
+            audio = fn(self.params, w0, rng,
                        jnp.asarray(cfg_src, jnp.float32),
                        jnp.asarray(cfg_tar, jnp.float32), uncond, src, tgt)
-        return np.asarray(audio), sr
+        audio = np.asarray(audio)
+        if audio.ndim == 3:  # stable-audio stereo waveform (1, C, T)
+            audio = audio[0]
+        return audio, sr
 
 
 def _wav_bytes(audio: np.ndarray, sr: int) -> bytes:

@@ -64,3 +64,15 @@ def test_http_round_trip(service):
         assert sr == 16000 and len(data) > 0
     finally:
         server.shutdown()
+
+
+def test_service_edit_stable_audio():
+    """The Stable Audio family serves too: waveform frontend, per-request
+    duration conditioning via the param bundle, 2nd-order solver history
+    threaded from inversion into the reverse pass."""
+    svc = EditService("test/tiny-stable-audio", num_diffusion_steps=3,
+                      dtype="float32")
+    audio, sr = svc.edit(clip_bytes(sr=44100, seconds=0.3), "tiny", tstart=2,
+                         seed=0)
+    assert audio.ndim == 2 and audio.shape[-1] > 0  # (C, T) stereo waveform
+    assert np.isfinite(audio).all()
