@@ -62,6 +62,65 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _main_stable_audio(args, mode, pipe, rng, seed):
+    """Text-to-audio and style transfer on the Stable Audio family (beyond
+    the reference, whose standalone generation CLI is AudioLDM-only —
+    audioldm/pipeline.py:107-301): sample x_T = sigma_max * n (or noise the
+    source latent to sigmas[skip]) and run the 2nd-order SDE-DPM-Solver++
+    reverse loop as one scan."""
+    from ..editing.sdedit import sdedit_loop_cosine
+    from ..editing.solvers import as_solver
+
+    if mode in ("inpaint", "sr"):
+        raise NotImplementedError(
+            "inpaint/sr regenerate mel-spectrogram regions; Stable Audio "
+            "supports --mode generation and transfer"
+        )
+    n = args.n_candidate_gen_per_text
+    S = pipe.sched.num_inference_steps
+    max_s = pipe.audio_vae_length / pipe.sample_rate
+    pipe.setup_duration(0.0, min(args.duration, max_s))
+
+    if mode == "generation":
+        w0 = jnp.zeros((n, pipe.dit.config.in_channels, pipe.sample_size),
+                       jnp.float32)
+        skip = 0  # x_t = 0 + sigmas[0] * noise = pure sigma_max noise
+    else:
+        if not args.file_path or not os.path.exists(args.file_path):
+            raise FileNotFoundError(f"--file_path: {args.file_path}")
+        x0, _, dur = load_audio(args.file_path, pipe.mel_config, stft=False,
+                                model_sr=pipe.get_sr())
+        pipe.setup_duration(0.0, min(dur, max_s))
+        rng, enc_rng = jax.random.split(rng)
+        w0 = jnp.repeat(pipe.vae_encode(jnp.asarray(x0), rng=enc_rng), n, axis=0)
+        skip = min(max(int(round(S * (1.0 - args.transfer_strength))), 0), S - 1)
+
+    uncond = pipe.encode_text([""], negative=True)
+    cond = pipe.encode_text([args.text or ""])
+    params = pipe.params_dict()
+
+    @jax.jit
+    def gen(params, w0, r):
+        p = pipe.bind(params)
+        eps_pair = p.make_eps_pair(uncond, cond)
+        w = sdedit_loop_cosine(as_solver(p.sched), eps_pair, w0, r, skip,
+                               args.guidance_scale)
+        return p.decode_to_mel(p.vae_decode(w))
+
+    audio = np.asarray(gen(params, w0, rng))
+
+    os.makedirs(args.save_path, exist_ok=True)
+    base = (args.text or "generation").replace(" ", "_")[:60]
+    outs = []
+    for i in range(n):
+        out = os.path.join(args.save_path, f"{base}_{timestamp_name()}_{i}.wav")
+        write_wav(out, audio[i], pipe.get_sr())
+        outs.append(out)
+        print(f"[+] saved {out}")
+    dump_run_summary(args.save_path, args, {"seed": seed, "mode": mode})
+    return outs
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     mode = args.mode or ("transfer" if args.file_path else "generation")
@@ -78,7 +137,7 @@ def main(argv=None):
                       latent_time=max(frames // 4, 8))
     spec = resolve_spec(args.model_id)
     if spec.family == "stable-audio":
-        raise NotImplementedError("generation CLI targets the mel families")
+        return _main_stable_audio(args, mode, pipe, rng, seed)
 
     n = args.n_candidate_gen_per_text
     lat_w = (spec.mel.n_mel_channels if spec.mel else 64) // pipe.vae_pad_multiple

@@ -100,3 +100,43 @@ class TestGenerateCLI:
             "--save_path", str(tmp_path / "sr"),
         ])
         assert os.path.exists(outs[0])
+
+
+class TestStableAudioGeneration:
+    def test_text_to_audio(self, tmp_path):
+        from audioeditingcode_tpu.cli.generate import main
+
+        outs = main([
+            "-t", "a drum loop", "--model_id", "test/tiny-stable-audio",
+            "--ddim_steps", "4", "--duration", "0.3",
+            "--save_path", str(tmp_path), "-n", "2",
+        ])
+        assert len(outs) == 2
+        for o in outs:
+            assert os.path.exists(o)
+
+    def test_style_transfer(self, tmp_path):
+        from scipy.io import wavfile
+
+        from audioeditingcode_tpu.cli.generate import main
+
+        sr = 44100
+        t = np.arange(int(sr * 0.3), dtype=np.float32) / sr
+        p = tmp_path / "src.wav"
+        wavfile.write(p, sr, (0.4 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16))
+        outs = main([
+            "-t", "a violin melody", "-f", str(p),
+            "--model_id", "test/tiny-stable-audio", "--ddim_steps", "4",
+            "--transfer_strength", "0.5", "--save_path", str(tmp_path / "o"),
+        ])
+        assert os.path.exists(outs[0])
+
+    def test_inpaint_rejected(self, tmp_path):
+        import pytest as _pytest
+
+        from audioeditingcode_tpu.cli.generate import main
+
+        with _pytest.raises(NotImplementedError):
+            main(["-t", "x", "--model_id", "test/tiny-stable-audio",
+                  "--mode", "inpaint", "--ddim_steps", "3",
+                  "--save_path", str(tmp_path)])
