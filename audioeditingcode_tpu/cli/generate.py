@@ -68,13 +68,14 @@ def _main_stable_audio(args, mode, pipe, rng, seed):
     audioldm/pipeline.py:107-301): sample x_T = sigma_max * n (or noise the
     source latent to sigmas[skip]) and run the 2nd-order SDE-DPM-Solver++
     reverse loop as one scan."""
+    from ..editing.generate import inpaint_latents_cosine
     from ..editing.sdedit import sdedit_loop_cosine
     from ..editing.solvers import as_solver
 
-    if mode in ("inpaint", "sr"):
+    if mode == "sr":
         raise NotImplementedError(
-            "inpaint/sr regenerate mel-spectrogram regions; Stable Audio "
-            "supports --mode generation and transfer"
+            "sr regenerates mel-frequency bands; Stable Audio latents are "
+            "waveform codes — use --mode inpaint with a time window"
         )
     n = args.n_candidate_gen_per_text
     S = pipe.sched.num_inference_steps
@@ -99,15 +100,38 @@ def _main_stable_audio(args, mode, pipe, rng, seed):
     cond = pipe.encode_text([args.text or ""])
     params = pipe.params_dict()
 
-    @jax.jit
-    def gen(params, w0, r):
-        p = pipe.bind(params)
-        eps_pair = p.make_eps_pair(uncond, cond)
-        w = sdedit_loop_cosine(as_solver(p.sched), eps_pair, w0, r, skip,
-                               args.guidance_scale)
-        return p.decode_to_mel(p.vae_decode(w))
+    if mode == "inpaint":
+        # time-window mask in latent frames (sample_rate / hop_length per s)
+        mask = np.zeros(w0.shape, np.float32)
+        if args.inpaint_window is not None:
+            per_s = pipe.sample_rate / pipe.hop_length
+            f0, f1 = (int(s * per_s) for s in args.inpaint_window)
+            mask[:, :, f0:f1] = 1.0
+        elif args.time_mask_ratio is not None:
+            t0, t1 = (int(r * w0.shape[2]) for r in args.time_mask_ratio)
+            mask[:, :, t0:t1] = 1.0
+        else:
+            mask[...] = 1.0
 
-    audio = np.asarray(gen(params, w0, rng))
+        @jax.jit
+        def gen(params, w0, mask, r):
+            p = pipe.bind(params)
+            eps_pair = p.make_eps_pair(uncond, cond)
+            w = inpaint_latents_cosine(as_solver(p.sched), eps_pair, w0, mask,
+                                       r, args.guidance_scale)
+            return p.decode_to_mel(p.vae_decode(w))
+
+        audio = np.asarray(gen(params, w0, jnp.asarray(mask), rng))
+    else:
+        @jax.jit
+        def gen(params, w0, r):
+            p = pipe.bind(params)
+            eps_pair = p.make_eps_pair(uncond, cond)
+            w = sdedit_loop_cosine(as_solver(p.sched), eps_pair, w0, r, skip,
+                                   args.guidance_scale)
+            return p.decode_to_mel(p.vae_decode(w))
+
+        audio = np.asarray(gen(params, w0, rng))
 
     os.makedirs(args.save_path, exist_ok=True)
     base = (args.text or "generation").replace(" ", "_")[:60]

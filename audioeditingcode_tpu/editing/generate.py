@@ -114,3 +114,41 @@ def inpaint_latents(
 
     xt, _ = jax.lax.scan(body, xt, (jnp.arange(S), keep_noise, step_noise))
     return mask * xt + (1.0 - mask) * w0
+
+
+def inpaint_latents_cosine(
+    solver,  # CosineDPMSolver
+    eps_pair_fn,
+    w0: jnp.ndarray,  # (B, C, L) clean Oobleck latent
+    mask: jnp.ndarray,  # 1 = regenerate, 0 = keep source
+    rng: jax.Array,
+    cfg_tar: float,
+) -> jnp.ndarray:
+    """Masked generation on the sigma-space cosine solver (Stable Audio):
+    after every solver step the kept region is re-projected to the source
+    latent noised to the NEXT sigma level — the sigma-space analogue of
+    ``inpaint_latents`` (reference pipeline.py:248-286 semantics).
+
+    The 2nd-order history sees the pre-blend model output; the blend runs
+    on the sample only, like the mel-space path."""
+    sched = solver.sched
+    S = sched.num_inference_steps
+    r_init, r_keep, r_steps = jax.random.split(rng, 3)
+    xt = sched.sigmas[0] * jax.random.normal(r_init, w0.shape, dtype=w0.dtype)
+    keep_noise = jax.random.normal(r_keep, (S,) + tuple(w0.shape), dtype=w0.dtype)
+    step_noise = jax.random.normal(r_steps, (S,) + tuple(w0.shape), dtype=w0.dtype)
+
+    def body(carry, inputs):
+        xt, state = carry
+        k, zk, zs = inputs
+        eps_u, eps_c = eps_pair_fn(xt, xt, k)
+        noise_pred = eps_u + cfg_tar * (eps_c - eps_u)
+        state, xt = solver.reverse_step(state, k, xt, noise_pred, zs)
+        w_known = w0 + sched.sigmas[k + 1] * zk
+        xt = mask * xt + (1.0 - mask) * w_known
+        return (xt, state), None
+
+    init = (xt, solver.init_state(xt))
+    (xt, _), _ = jax.lax.scan(
+        body, init, (jnp.arange(S), keep_noise, step_noise))
+    return mask * xt + (1.0 - mask) * w0

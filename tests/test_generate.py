@@ -131,12 +131,30 @@ class TestStableAudioGeneration:
         ])
         assert os.path.exists(outs[0])
 
-    def test_inpaint_rejected(self, tmp_path):
+    def test_inpaint_time_window(self, tmp_path):
+        """Sigma-space masked regeneration of a time window."""
+        from scipy.io import wavfile
+
+        from audioeditingcode_tpu.cli.generate import main
+
+        sr = 44100
+        t = np.arange(int(sr * 0.3), dtype=np.float32) / sr
+        p = tmp_path / "src.wav"
+        wavfile.write(p, sr, (0.4 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16))
+        outs = main([
+            "-t", "a violin", "-f", str(p), "--mode", "inpaint",
+            "--model_id", "test/tiny-stable-audio", "--ddim_steps", "4",
+            "--inpaint_window", "0.05", "0.15",
+            "--save_path", str(tmp_path / "inp"),
+        ])
+        assert os.path.exists(outs[0])
+
+    def test_sr_rejected(self, tmp_path):
         import pytest as _pytest
 
         from audioeditingcode_tpu.cli.generate import main
 
         with _pytest.raises(NotImplementedError):
             main(["-t", "x", "--model_id", "test/tiny-stable-audio",
-                  "--mode", "inpaint", "--ddim_steps", "3",
+                  "--mode", "sr", "--ddim_steps", "3",
                   "--save_path", str(tmp_path)])
