@@ -137,6 +137,9 @@ def pc_extract_parser() -> argparse.ArgumentParser:
     p.add_argument("--wandb_name", type=str, default=None)
     p.add_argument("--wandb_group", type=str, default=None)
     p.add_argument("--wandb_disable", action="store_true")
+    p.add_argument("--ts_chunk", type=int, default=1,
+                   help="batch this many timesteps' power iterations into "
+                        "one vmapped program (see main_pc_extract_inv.py)")
     return p
 
 
