@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 from typing import List, Optional
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -100,17 +101,31 @@ def generate_language_model(
     step appends the model's final hidden state at the last position
     (diffusers AudioLDM2Pipeline.generate_language_model; reference call
     site models.py:663-667). Returns (B, max_new_tokens, E)."""
+    B, S0, E = inputs_embeds.shape
     if attention_mask is None:
-        attention_mask = jnp.ones(inputs_embeds.shape[:2], jnp.int32)
-    for _ in range(max_new_tokens):
-        out = gpt2.apply(params, inputs_embeds, attention_mask)
-        nxt = out[:, -1:, :]
-        inputs_embeds = jnp.concatenate([inputs_embeds, nxt], axis=1)
-        attention_mask = jnp.concatenate(
-            [attention_mask, jnp.ones((attention_mask.shape[0], 1), attention_mask.dtype)],
-            axis=1,
-        )
-    return inputs_embeds[:, -max_new_tokens:, :]
+        attention_mask = jnp.ones((B, S0), jnp.int32)
+
+    # Fixed-shape masked buffer instead of a growing concat: every step runs
+    # the model at the same (B, S0+T, E) shape, so the whole generation is
+    # ONE compiled program (the growing version compiles T distinct shapes
+    # through the remote-compile tunnel). Causal attention + the pad-mask
+    # bias make position S0+i-1's hidden state identical to the truncated
+    # computation, so results match the concat loop exactly.
+    total = S0 + max_new_tokens
+    emb = jnp.pad(inputs_embeds, ((0, 0), (0, max_new_tokens), (0, 0)))
+    mask = jnp.pad(attention_mask, ((0, 0), (0, max_new_tokens)))
+
+    def body(carry, i):
+        emb, mask = carry
+        out = gpt2.apply(params, emb, mask)  # (B, total, E)
+        nxt = jax.lax.dynamic_slice_in_dim(out, S0 - 1 + i, 1, axis=1)
+        emb = jax.lax.dynamic_update_slice_in_dim(emb, nxt, S0 + i, axis=1)
+        mask = jax.lax.dynamic_update_slice_in_dim(
+            mask, jnp.ones((B, 1), mask.dtype), S0 + i, axis=1)
+        return (emb, mask), None
+
+    (emb, _), _ = jax.lax.scan(body, (emb, mask), jnp.arange(max_new_tokens))
+    return emb[:, S0:total, :]
 
 
 # ---------------------------------------------------------- projection
