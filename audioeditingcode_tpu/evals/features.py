@@ -153,10 +153,89 @@ class TransformersClapExtractor:
         )
 
 
-def default_extractor(model_name_or_path: Optional[str] = None):
-    """CLAP oracle if weights are reachable, MelStageExtractor otherwise."""
+class FlaxClapExtractor:
+    """CLAP audio tower on JAX/TPU (models/clap_audio.py — torch-parity
+    tested); text embeddings delegate to the torch text tower (tiny,
+    offline). Same extractor protocol and outputs as the oracle."""
+
+    sample_rate = 48000
+
+    def __init__(self, model_name_or_path: str = "laion/clap-htsat-unfused",
+                 local_files_only: bool = True):
+        from transformers import AutoProcessor, ClapModel
+
+        model = ClapModel.from_pretrained(
+            model_name_or_path, local_files_only=local_files_only
+        )
+        processor = AutoProcessor.from_pretrained(
+            model_name_or_path, local_files_only=local_files_only
+        )
+        self._init_components(model, processor)
+
+    @classmethod
+    def from_components(cls, model, processor):
+        self = cls.__new__(cls)
+        self._init_components(model, processor)
+        return self
+
+    def _init_components(self, model, processor):
+        import functools
+
+        import jax
+        import torch
+
+        from ..models.clap_audio import (
+            clap_audio_embed,
+            clap_audio_forward,
+            params_from_torch_clap,
+        )
+
+        self.torch = torch
+        self.processor = processor
+        self._text_model = model.eval()  # embed_text path only
+        self.params, self.cfg = params_from_torch_clap(model)
+        self.embed_dim = self.cfg.projection_dim
+        self._fwd = jax.jit(
+            functools.partial(clap_audio_forward, cfg=self.cfg))
+        self._proj = jax.jit(clap_audio_embed)
+
+    def _prep(self, aud: np.ndarray, sr: int) -> np.ndarray:
+        aud = np.atleast_2d(np.asarray(aud, np.float32))
+        if aud.shape[0] > 1:
+            aud = aud.mean(axis=0, keepdims=True)
+        aud = resample(aud, sr, self.sample_rate)[0]
+        feats = self.processor(
+            audios=aud, sampling_rate=self.sample_rate, return_tensors="pt"
+        )["input_features"]
+        return np.asarray(feats, np.float32)
+
+    def stages(self, aud: np.ndarray, sr: int) -> List[np.ndarray]:
+        stages, _ = self._fwd(self.params, self._prep(aud, sr))
+        return [np.asarray(s) for s in stages[-4:]]
+
+    def embed_audio(self, aud: np.ndarray, sr: int) -> np.ndarray:
+        _, pooled = self._fwd(self.params, self._prep(aud, sr))
+        v = np.asarray(self._proj(self.params, pooled))[0]
+        return (v / (np.linalg.norm(v) + 1e-8)).astype(np.float32)
+
+    def embed_text(self, texts: Sequence[str]) -> np.ndarray:
+        with self.torch.no_grad():
+            toks = self.processor(text=list(texts), return_tensors="pt", padding=True)
+            emb = self._text_model.get_text_features(**toks).numpy()
+        return (emb / (np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)).astype(
+            np.float32
+        )
+
+
+def default_extractor(model_name_or_path: Optional[str] = None,
+                      backend: str = "jax"):
+    """CLAP (JAX audio tower by default, torch oracle with
+    backend='torch') if weights are reachable, MelStageExtractor
+    otherwise."""
     if model_name_or_path is not None:
         try:
+            if backend == "jax":
+                return FlaxClapExtractor(model_name_or_path)
             return TransformersClapExtractor(model_name_or_path)
         except Exception as e:  # missing weights / offline
             print(f"[evals] CLAP unavailable ({e}); using MelStageExtractor")
