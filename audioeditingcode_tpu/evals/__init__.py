@@ -16,10 +16,16 @@ from .windows import split_to_overlapping_windows, windowed_score
 from .lpaps import LPAPS, lpaps_distance
 from .clap_consistency import CLAPTextConsistencyMetric
 from .fad import frechet_distance, FADScorer
-from .features import MelStageExtractor, TransformersClapExtractor, default_extractor
+from .features import (
+    FlaxClapExtractor,
+    MelStageExtractor,
+    TransformersClapExtractor,
+    default_extractor,
+)
 from .scores import ScoreState, calc_scores, combine_scores
 
 __all__ = [
+    "FlaxClapExtractor",
     "MelStageExtractor",
     "TransformersClapExtractor",
     "default_extractor",

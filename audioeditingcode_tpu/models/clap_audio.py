@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -296,8 +296,6 @@ def clap_audio_embed(params: Dict, pooled: jnp.ndarray) -> jnp.ndarray:
 def params_from_torch_clap(model) -> Tuple[Dict, ClapAudioConfig]:
     """Build the params pytree from a torch ``transformers.ClapModel``
     (or ``ClapAudioModel`` + separate projection)."""
-    import torch
-
     audio = model.audio_model.audio_encoder
     acfg = model.config.audio_config if hasattr(model.config, "audio_config") \
         else model.config
