@@ -26,6 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clap_model", type=str, default=None,
                    help="HF id/path of a CLAP checkpoint (oracle features); "
                         "omit for the weight-free mel extractor")
+    p.add_argument("--clap_backend", type=str, default="jax",
+                   choices=["jax", "torch"],
+                   help="run the CLAP audio tower on JAX/TPU or the torch oracle")
     p.add_argument("--prev_pt", type=str, default=None,
                    help="scores checkpoint (resume support)")
     p.add_argument("--win_length", type=float, default=None)
@@ -41,7 +44,7 @@ def main(argv=None):
     from ..evals import FADScorer, calc_scores, combine_scores
     from ..evals.features import default_extractor
 
-    extractor = default_extractor(args.clap_model)
+    extractor = default_extractor(args.clap_model, backend=args.clap_backend)
     os.makedirs(args.out_dir, exist_ok=True)
     outputs = []
 
