@@ -168,3 +168,60 @@ class TestFlaxExtractorMatchesOracle:
         np.testing.assert_allclose(jx.embed_audio(aud, 48000),
                                    tx.embed_audio(aud, 48000),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_flax_extractor_drives_metrics(pair_metrics=None):
+    """LPAPS + CLAP-consistency run end-to-end on the JAX extractor."""
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    from transformers import ClapConfig, ClapFeatureExtractor, ClapModel
+    from transformers.models.clap.configuration_clap import (
+        ClapAudioConfig,
+        ClapTextConfig,
+    )
+
+    from audioeditingcode_tpu.evals.clap_consistency import (
+        CLAPTextConsistencyMetric,
+    )
+    from audioeditingcode_tpu.evals.features import FlaxClapExtractor
+    from audioeditingcode_tpu.evals.lpaps import LPAPS
+
+    tc = ClapTextConfig(hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=2, intermediate_size=64,
+                        vocab_size=100)
+    ac = ClapAudioConfig(hidden_size=32, depths=[1, 1],
+                         num_attention_heads=[2, 2], num_mel_bins=64,
+                         spec_size=256, patch_embeds_hidden_size=16,
+                         window_size=4)
+    cfg = ClapConfig(text_config=tc.to_dict(), audio_config=ac.to_dict(),
+                     projection_dim=16)
+
+    class Proc:
+        fe = ClapFeatureExtractor()
+
+        def __call__(self, audios=None, sampling_rate=None, text=None, **kw):
+            if text is not None:
+                import torch as _t
+
+                ids = _t.tensor([[min(7 + i, 99) for i in range(8)]
+                                 for _ in text])
+                return {"input_ids": ids, "attention_mask": _t.ones_like(ids)}
+            return self.fe(audios, sampling_rate=sampling_rate,
+                           return_tensors="pt", truncation="rand_trunc")
+
+    torch.manual_seed(5)
+    ext = FlaxClapExtractor.from_components(ClapModel(cfg).eval(), Proc())
+
+    t = np.arange(48000, dtype=np.float32) / 48000
+    a = (0.4 * np.sin(2 * np.pi * 440 * t))[None]
+    b = (0.4 * np.sin(2 * np.pi * 880 * t))[None]
+
+    m = LPAPS(ext)
+    assert m(a, a, 48000, 48000) == pytest.approx(0.0, abs=1e-8)
+    assert m(a, b, 48000, 48000) > 0
+
+    c = CLAPTextConsistencyMetric(ext)
+    c.update(a, ["a sine tone"], 48000)
+    score = c.compute()
+    assert -1.0 <= score <= 1.0
