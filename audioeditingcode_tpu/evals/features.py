@@ -182,22 +182,28 @@ class FlaxClapExtractor:
         import functools
 
         import jax
-        import torch
 
         from ..models.clap_audio import (
             clap_audio_embed,
             clap_audio_forward,
             params_from_torch_clap,
         )
+        from ..models.clap_text import (
+            clap_text_embed,
+            clap_text_forward,
+            text_params_from_torch_clap,
+        )
 
-        self.torch = torch
         self.processor = processor
-        self._text_model = model.eval()  # embed_text path only
         self.params, self.cfg = params_from_torch_clap(model)
+        self.text_params, self.text_cfg = text_params_from_torch_clap(model)
         self.embed_dim = self.cfg.projection_dim
         self._fwd = jax.jit(
             functools.partial(clap_audio_forward, cfg=self.cfg))
         self._proj = jax.jit(clap_audio_embed)
+        self._text_fwd = jax.jit(
+            functools.partial(clap_text_forward, cfg=self.text_cfg))
+        self._text_proj = jax.jit(clap_text_embed)
 
     def _prep(self, aud: np.ndarray, sr: int) -> np.ndarray:
         aud = np.atleast_2d(np.asarray(aud, np.float32))
@@ -219,9 +225,11 @@ class FlaxClapExtractor:
         return (v / (np.linalg.norm(v) + 1e-8)).astype(np.float32)
 
     def embed_text(self, texts: Sequence[str]) -> np.ndarray:
-        with self.torch.no_grad():
-            toks = self.processor(text=list(texts), return_tensors="pt", padding=True)
-            emb = self._text_model.get_text_features(**toks).numpy()
+        toks = self.processor(text=list(texts), return_tensors="pt", padding=True)
+        ids = np.asarray(toks["input_ids"])
+        mask = np.asarray(toks["attention_mask"])
+        pooled = self._text_fwd(self.text_params, ids, mask)
+        emb = np.asarray(self._text_proj(self.text_params, pooled))
         return (emb / (np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-8)).astype(
             np.float32
         )

@@ -225,3 +225,44 @@ def test_flax_extractor_drives_metrics(pair_metrics=None):
     c.update(a, ["a sine tone"], 48000)
     score = c.compute()
     assert -1.0 <= score <= 1.0
+
+
+def test_text_tower_parity():
+    """JAX text tower vs torch ClapModel.get_text_features on a tiny model."""
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    from transformers import ClapConfig, ClapModel
+    from transformers.models.clap.configuration_clap import (
+        ClapAudioConfig,
+        ClapTextConfig,
+    )
+
+    from audioeditingcode_tpu.models.clap_text import (
+        clap_text_embed,
+        clap_text_forward,
+        text_params_from_torch_clap,
+    )
+
+    tc = ClapTextConfig(hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=2, intermediate_size=64,
+                        vocab_size=100)
+    ac = ClapAudioConfig(hidden_size=32, depths=[1, 1],
+                         num_attention_heads=[2, 2], num_mel_bins=64,
+                         spec_size=256, patch_embeds_hidden_size=16,
+                         window_size=4)
+    cfg = ClapConfig(text_config=tc.to_dict(), audio_config=ac.to_dict(),
+                     projection_dim=16)
+    torch.manual_seed(7)
+    model = ClapModel(cfg).eval()
+    params, tcfg = text_params_from_torch_clap(model)
+
+    ids = torch.tensor([[0, 5, 9, 12, 2, 1, 1, 1],  # right-padded
+                        [0, 7, 3, 4, 8, 11, 6, 2]])
+    mask = (ids != 1).long()
+    with torch.no_grad():
+        ref = model.get_text_features(input_ids=ids, attention_mask=mask).numpy()
+
+    pooled = clap_text_forward(params, ids.numpy(), mask.numpy(), tcfg)
+    emb = np.asarray(clap_text_embed(params, pooled))
+    np.testing.assert_allclose(emb, ref, rtol=2e-4, atol=2e-4)
