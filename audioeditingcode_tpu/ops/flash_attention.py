@@ -27,9 +27,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 # scores VMEM budget ~4 MB at fp32 -> bq * S <= 1M elements
 _MAX_SCORE_ELEMS = 1 << 20
-# measured on v5e: kernel 3.8x faster than XLA at S=4096 (2.43 vs 9.20 ms,
-# B2 H8 D80 bf16) but ~1.2x slower at S=1024 where XLA's fusion wins
+# in-model on v5e the kernel is worth ~2.2x on the attention share at
+# S=4096; at S<=1024 XLA's fusion is competitive (see PERF_NOTES.md)
 _MIN_SEQ_FOR_KERNEL = 2048
+# scoped-VMEM ceiling for the full K/V blocks (Mosaic pads the head dim to
+# 128 lanes, so small-D shapes cost 128/D more than their logical size;
+# the hard limit is 16 MB for the whole kernel stack)
+_MAX_KV_VMEM_BYTES = 8 << 20
+
+
+def _kv_vmem_bytes(seq: int, head_dim: int, itemsize: int) -> int:
+    lanes = ((head_dim + 127) // 128) * 128
+    return 2 * seq * lanes * itemsize
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
@@ -55,14 +64,43 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = (o / denom).astype(o_ref.dtype)
 
 
-def _block_q(seq: int, kv: int) -> int:
-    bq = max(1, _MAX_SCORE_ELEMS // max(kv, 1))
+def _block_q(seq: int, kv_bytes: int) -> int:
+    # two f32 (bq, S) temporaries (scores + probs) must fit beside the full
+    # lane-padded K/V blocks inside the 16 MB scoped-VMEM ceiling
+    budget = max((12 << 20) - kv_bytes, 1 << 20)
+    bq = max(1, min(budget // (8 * seq), _MAX_SCORE_ELEMS // seq))
     bq = min(bq, seq, 1024)
     # largest divisor of seq that is <= bq and sublane-friendly
     for cand in range(bq, 0, -1):
         if seq % cand == 0:
             return cand
     return seq
+
+
+@functools.lru_cache(maxsize=2)
+def _batched_blocked_attention(interpret: bool):
+    """custom_vmap wrapper: fold any vmap axis into the kernel's B*H grid
+    axis. The default pallas batching rule prepends the vmap dim to every
+    BLOCK, multiplying VMEM use by the batch size — at long-form window
+    counts that exceeds scoped VMEM and fails to compile."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def attn(q, k, v):
+        return _blocked_attention(q, k, v, interpret=interpret)
+
+    @attn.def_vmap
+    def _rule(axis_size, in_batched, q, k, v):  # noqa: ANN001
+        def fold(x, batched):
+            if not batched:
+                x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            return x.reshape((-1,) + x.shape[2:])
+
+        out = _blocked_attention(fold(q, in_batched[0]), fold(k, in_batched[1]),
+                                 fold(v, in_batched[2]), interpret=interpret)
+        return out.reshape((axis_size, -1) + out.shape[1:]), True
+
+    return attn
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -74,7 +112,7 @@ def _blocked_attention(q, k, v, interpret: bool = False):
     kt = k.transpose(0, 2, 1, 3).reshape(B * H, S, D)
     vt = v.transpose(0, 2, 1, 3).reshape(B * H, S, D)
 
-    bq = _block_q(S, S)
+    bq = _block_q(S, _kv_vmem_bytes(S, D, q.dtype.itemsize))
     grid = (B * H, S // bq)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
@@ -100,6 +138,34 @@ def _blocked_attention(q, k, v, interpret: bool = False):
     return out.reshape(B, H, S, D).transpose(0, 2, 1, 3)
 
 
+def _chunked_attention(q, k, v, chunk: int = 512):
+    """Memory-bounded dense attention: queries processed in chunks via a
+    sequential ``lax.map`` so the (chunk, S) score slab replaces the full
+    (S, S) matrix in HBM. Fallback for very long sequences where the
+    Pallas kernel's full K/V VMEM blocks do not fit (small head dims pad
+    to 128 lanes) and XLA's dense path would materialize S^2 scores."""
+    B, S, H, D = q.shape
+    scale = 1.0 / (D ** 0.5)
+    qt = (q * scale).transpose(0, 2, 1, 3)  # (B, H, S, D)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    c = min(chunk, S)
+    while S % c:
+        c //= 2
+    qb = qt.reshape(B, H, S // c, c, D).transpose(2, 0, 1, 3, 4)
+
+    def blk(qc):  # (B, H, c, D)
+        s = jnp.einsum("bhqd,bhkd->bhqk", qc.astype(jnp.float32),
+                       kt.astype(jnp.float32))
+        m = s.max(-1, keepdims=True)
+        p = jnp.exp(s - m)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(vt.dtype), vt)
+        return (o / p.sum(-1, keepdims=True)).astype(q.dtype)
+
+    ob = jax.lax.map(blk, qb)  # (S/c, B, H, c, D)
+    return ob.transpose(1, 2, 0, 3, 4).reshape(B, H, S, D).transpose(0, 2, 1, 3)
+
+
 def fused_attention(
     q: jnp.ndarray,  # (B, Q, H, D)
     k: jnp.ndarray,  # (B, K, H, D)
@@ -116,15 +182,20 @@ def fused_attention(
         and Q >= _MIN_SEQ_FOR_KERNEL
         and Q % 8 == 0
         and D <= 256
+        and _kv_vmem_bytes(Q, D, q.dtype.itemsize) <= _MAX_KV_VMEM_BYTES
     )
     if use_kernel:
         backend = jax.default_backend()
         if backend == "tpu":
-            return _blocked_attention(q, k, v, interpret=False)
+            return _batched_blocked_attention(False)(q, k, v)
         # exercised under tests via the interpreter so the kernel logic is
         # covered on CPU too
         import os
 
         if os.environ.get("PALLAS_INTERPRET_ATTENTION", "0") == "1":
-            return _blocked_attention(q, k, v, interpret=True)
+            return _batched_blocked_attention(True)(q, k, v)
+    if bias is None and Q == K and Q >= 8192:
+        # kernel-ineligible long self-attention: dense XLA would put the
+        # full (S, S) score matrix in HBM (24 GB at S=16k batch 24)
+        return _chunked_attention(q, k, v)
     return jax.nn.dot_product_attention(q, k, v, bias=bias)

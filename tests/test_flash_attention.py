@@ -61,3 +61,44 @@ class TestBlockedAttention:
                                        atol=2e-5, rtol=2e-5)
         finally:
             del os.environ["PALLAS_INTERPRET_ATTENTION"]
+
+
+def test_vmapped_kernel_folds_into_batch_axis():
+    """vmap over the kernel must fold into the B*H grid axis (the default
+    pallas batching rule multiplies VMEM blocks by the vmap size, which
+    OOMs scoped VMEM on real windows — the long-form edit path)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audioeditingcode_tpu.ops.flash_attention import fused_attention
+
+    os.environ["PALLAS_INTERPRET_ATTENTION"] = "1"
+    try:
+        rng = jax.random.PRNGKey(0)
+        qkv = jax.random.normal(rng, (3, 3, 2, 2048, 2, 8))  # (qkv, N, B,S,H,D)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        batched = jax.vmap(fused_attention)(q, k, v)
+        ref = jnp.stack([fused_attention(q[i], k[i], v[i]) for i in range(3)])
+        np.testing.assert_allclose(np.asarray(batched), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+    finally:
+        os.environ.pop("PALLAS_INTERPRET_ATTENTION", None)
+
+
+def test_chunked_attention_matches_dense():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audioeditingcode_tpu.ops.flash_attention import _chunked_attention
+
+    rng = jax.random.PRNGKey(1)
+    q, k, v = jax.random.normal(rng, (3, 2, 1024, 2, 8))
+    ref = jax.nn.dot_product_attention(q, k, v)
+    out = _chunked_attention(q, k, v, chunk=256)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
