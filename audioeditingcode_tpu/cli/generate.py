@@ -94,44 +94,51 @@ def _main_stable_audio(args, mode, pipe, rng, seed):
         pipe.setup_duration(0.0, min(dur, max_s))
         rng, enc_rng = jax.random.split(rng)
         w0 = jnp.repeat(pipe.vae_encode(jnp.asarray(x0), rng=enc_rng), n, axis=0)
-        skip = min(max(int(round(S * (1.0 - args.transfer_strength))), 0), S - 1)
+        # skip == S means a 0-length loop: strength 0 returns the input
+        # exactly (sigmas[S] == 0), matching the mel path's passthrough
+        skip = min(max(int(round(S * (1.0 - args.transfer_strength))), 0), S)
 
-    uncond = pipe.encode_text([""], negative=True)
-    cond = pipe.encode_text([args.text or ""])
-    params = pipe.params_dict()
+    # conditioning travels as jit arguments like params (closure constants
+    # bloat the program and can exceed the remote compiler's payload limit)
+    bundle = {
+        "params": pipe.params_dict(),
+        "uncond": pipe.encode_text([""], negative=True),
+        "cond": pipe.encode_text([args.text or ""]),
+    }
 
     if mode == "inpaint":
-        # time-window mask in latent frames (sample_rate / hop_length per s)
+        # regenerate the union of the masked regions, like the mel branch;
+        # time windows in latent frames (sample_rate / hop_length per s)
         mask = np.zeros(w0.shape, np.float32)
         if args.inpaint_window is not None:
             per_s = pipe.sample_rate / pipe.hop_length
             f0, f1 = (int(s * per_s) for s in args.inpaint_window)
             mask[:, :, f0:f1] = 1.0
-        elif args.time_mask_ratio is not None:
+        if args.time_mask_ratio is not None:
             t0, t1 = (int(r * w0.shape[2]) for r in args.time_mask_ratio)
             mask[:, :, t0:t1] = 1.0
-        else:
+        if not mask.any():
             mask[...] = 1.0
 
         @jax.jit
-        def gen(params, w0, mask, r):
-            p = pipe.bind(params)
-            eps_pair = p.make_eps_pair(uncond, cond)
+        def gen(b, w0, mask, r):
+            p = pipe.bind(b["params"])
+            eps_pair = p.make_eps_pair(b["uncond"], b["cond"])
             w = inpaint_latents_cosine(as_solver(p.sched), eps_pair, w0, mask,
                                        r, args.guidance_scale)
             return p.decode_to_mel(p.vae_decode(w))
 
-        audio = np.asarray(gen(params, w0, jnp.asarray(mask), rng))
+        audio = np.asarray(gen(bundle, w0, jnp.asarray(mask), rng))
     else:
         @jax.jit
-        def gen(params, w0, r):
-            p = pipe.bind(params)
-            eps_pair = p.make_eps_pair(uncond, cond)
+        def gen(b, w0, r):
+            p = pipe.bind(b["params"])
+            eps_pair = p.make_eps_pair(b["uncond"], b["cond"])
             w = sdedit_loop_cosine(as_solver(p.sched), eps_pair, w0, r, skip,
                                    args.guidance_scale)
             return p.decode_to_mel(p.vae_decode(w))
 
-        audio = np.asarray(gen(params, w0, rng))
+        audio = np.asarray(gen(bundle, w0, rng))
 
     os.makedirs(args.save_path, exist_ok=True)
     base = (args.text or "generation").replace(" ", "_")[:60]

@@ -144,7 +144,9 @@ def main(argv=None):
         audio = audio[:, None]
 
     starts_samples = [s * SAMPLES_PER_FRAME for s in starts]
-    total = int(round(duration * MEL_FPS)) * SAMPLES_PER_FRAME
+    # the frontend computed int(duration * 102.4) mel frames (audio_io.py);
+    # rounding here instead would append a zero-weight silent frame
+    total = max(x0_full.shape[2], win) * SAMPLES_PER_FRAME
     stitched = overlap_add(audio.astype(np.float32), starts_samples, total)
 
     save_path = os.path.join(

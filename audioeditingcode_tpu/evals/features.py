@@ -79,6 +79,18 @@ class MelStageExtractor:
         return np.stack(out).astype(np.float32)
 
 
+def _clap_prep(processor, aud: np.ndarray, sr: int, sample_rate: int):
+    """Shared CLAP audio prep: mono downmix, resample to the model rate,
+    processor mel features (reference convert_audio semantics,
+    evals/meta_clap_consistency.py:64-69)."""
+    aud = np.atleast_2d(np.asarray(aud, np.float32))
+    if aud.shape[0] > 1:
+        aud = aud.mean(axis=0, keepdims=True)
+    aud = resample(aud, sr, sample_rate)[0]
+    return processor(audios=aud, sampling_rate=sample_rate,
+                     return_tensors="pt")
+
+
 class TransformersClapExtractor:
     """Oracle extractor on torch-CPU CLAP (transformers ClapModel).
 
@@ -118,13 +130,7 @@ class TransformersClapExtractor:
         self.embed_dim = self.model.config.projection_dim
 
     def _prep(self, aud: np.ndarray, sr: int):
-        aud = np.atleast_2d(np.asarray(aud, np.float32))
-        if aud.shape[0] > 1:
-            aud = aud.mean(axis=0, keepdims=True)
-        aud = resample(aud, sr, self.sample_rate)[0]
-        return self.processor(
-            audios=aud, sampling_rate=self.sample_rate, return_tensors="pt"
-        )
+        return _clap_prep(self.processor, aud, sr, self.sample_rate)
 
     def stages(self, aud: np.ndarray, sr: int) -> List[np.ndarray]:
         inputs = self._prep(aud, sr)
@@ -154,9 +160,10 @@ class TransformersClapExtractor:
 
 
 class FlaxClapExtractor:
-    """CLAP audio tower on JAX/TPU (models/clap_audio.py — torch-parity
-    tested); text embeddings delegate to the torch text tower (tiny,
-    offline). Same extractor protocol and outputs as the oracle."""
+    """CLAP on JAX/TPU: audio tower (models/clap_audio.py) AND text tower
+    (models/clap_text.py), both torch-parity tested; torch is only used to
+    read the checkpoint at load time. Same extractor protocol and outputs
+    as the oracle."""
 
     sample_rate = 48000
 
@@ -206,14 +213,8 @@ class FlaxClapExtractor:
         self._text_proj = jax.jit(clap_text_embed)
 
     def _prep(self, aud: np.ndarray, sr: int) -> np.ndarray:
-        aud = np.atleast_2d(np.asarray(aud, np.float32))
-        if aud.shape[0] > 1:
-            aud = aud.mean(axis=0, keepdims=True)
-        aud = resample(aud, sr, self.sample_rate)[0]
-        feats = self.processor(
-            audios=aud, sampling_rate=self.sample_rate, return_tensors="pt"
-        )["input_features"]
-        return np.asarray(feats, np.float32)
+        feats = _clap_prep(self.processor, aud, sr, self.sample_rate)
+        return np.asarray(feats["input_features"], np.float32)
 
     def stages(self, aud: np.ndarray, sr: int) -> List[np.ndarray]:
         stages, _ = self._fwd(self.params, self._prep(aud, sr))

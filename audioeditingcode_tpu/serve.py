@@ -117,13 +117,21 @@ class EditService:
                 f.name, self.pipe.mel_config, stft=not self.is_stable_audio,
                 model_sr=self.pipe.get_sr())
 
+        crop_end = None
         with self._lock:
             rng = self.jax.random.PRNGKey(seed)
             if self.is_stable_audio:
-                # per-request duration conditioning; the state rides
-                # params_dict() so the compiled program is reused
+                # Per-request duration conditioning rides params_dict()
+                # (traced arguments). The waveform CROP however is a static
+                # slice inside vae_decode — baking it in would freeze the
+                # first request's duration into the compiled program — so
+                # the jitted edit decodes the full window and the crop
+                # happens host-side below.
                 max_s = self.pipe.audio_vae_length / self.pipe.sample_rate
                 self.pipe.setup_duration(0.0, min(duration, max_s))
+                crop_end = self.pipe._waveform_end
+                self.pipe._waveform_start = 0
+                self.pipe._waveform_end = None
                 self.params = self.pipe.params_dict()
                 rng, enc_rng = self.jax.random.split(rng)
                 w0 = self.pipe.vae_encode(jnp.asarray(x0), rng=enc_rng)
@@ -139,6 +147,8 @@ class EditService:
         audio = np.asarray(audio)
         if audio.ndim == 3:  # stable-audio stereo waveform (1, C, T)
             audio = audio[0]
+        if crop_end is not None:
+            audio = audio[..., :crop_end]
         return audio, sr
 
 

@@ -158,3 +158,23 @@ class TestStableAudioGeneration:
             main(["-t", "x", "--model_id", "test/tiny-stable-audio",
                   "--mode", "sr", "--ddim_steps", "3",
                   "--save_path", str(tmp_path)])
+
+    def test_transfer_strength_zero_is_passthrough(self, tmp_path):
+        """strength 0 -> skip == S -> zero-length solver loop, exact input
+        (sigmas[S] == 0), matching the mel path's semantics."""
+        import jax.numpy as jnp
+
+        from audioeditingcode_tpu.editing.sdedit import sdedit_loop_cosine
+        from audioeditingcode_tpu.editing.solvers import as_solver
+        from audioeditingcode_tpu.models.registry import load_model
+        import jax
+
+        pipe = load_model("test/tiny-stable-audio", num_diffusion_steps=4)
+        pipe.setup_duration()  # full window (tiny model is ~16 ms)
+        w0 = jax.random.normal(jax.random.PRNGKey(0),
+                               (1, pipe.dit.config.in_channels, pipe.sample_size))
+        eps = pipe.make_eps_pair(pipe.encode_text([""], negative=True),
+                                 pipe.encode_text(["x"]))
+        out = sdedit_loop_cosine(as_solver(pipe.sched), eps, w0,
+                                 jax.random.PRNGKey(1), skip=4, cfg_tar=3.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(w0), atol=1e-6)

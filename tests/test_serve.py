@@ -76,3 +76,20 @@ def test_service_edit_stable_audio():
                          seed=0)
     assert audio.ndim == 2 and audio.shape[-1] > 0  # (C, T) stereo waveform
     assert np.isfinite(audio).all()
+
+
+def test_stable_audio_serve_respects_per_request_duration():
+    """The waveform crop is a static slice in vae_decode; serving must not
+    freeze the first request's duration into the compiled program."""
+    svc = EditService("test/tiny-stable-audio", num_diffusion_steps=3,
+                      dtype="float32")
+    max_s = svc.pipe.audio_vae_length / svc.pipe.sample_rate
+    d1, d2 = 0.3 * max_s, 0.9 * max_s
+    a1, sr1 = svc.edit(clip_bytes(sr=44100, seconds=d1), "tiny", tstart=2)
+    n_programs = len(svc._compiled)
+    a2, sr2 = svc.edit(clip_bytes(sr=44100, seconds=d2), "tiny", tstart=2)
+    assert len(svc._compiled) == n_programs  # no per-duration retrace
+    assert a2.shape[-1] > a1.shape[-1]  # crop follows the request
+    # crop tracks each request's duration (within resampling rounding)
+    assert abs(a1.shape[-1] - d1 * sr1) <= 2
+    assert abs(a2.shape[-1] - d2 * sr2) <= 2
