@@ -1,0 +1,166 @@
+"""Evaluation-sweep CLI: one inversion, many (tstart, cfg_tar) edits.
+
+The reference's quantitative protocol sweeps skip ∈ {160..100} x tarcfg
+grids (SURVEY §6; evals/SupEval.ipynb cell 10) by re-running main_run.py —
+which re-computes the full edit-friendly inversion for every grid point.
+The inversion depends only on (audio, source prompt, cfg_src), so this
+tool runs it ONCE and reuses the stored noise maps `zs` + trajectory `xts`
+for every grid combination:
+
+  cost = 2*T + sum_i 2*tstart_i   UNet forwards
+  vs     sum_i (2*T + 2*tstart_i) for the reference workflow
+
+(a 7-skip x 3-cfg grid on T=200 drops from 29.4k to 7.0k UNet forwards).
+cfg_tar is a traced argument, so each distinct tstart compiles once and
+every cfg reuses the program. Results land in the reference-compatible
+tree so main_evals.py scores them directly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..editing.cfg import build_cfg_tensors
+from ..editing.invert import (
+    inversion_forward_process,
+    inversion_reverse_process,
+)
+from ..models.registry import load_model, resolve_spec
+from ..utils.audio_io import load_audio, write_wav
+from .common import (
+    dump_run_summary,
+    edit_image_name,
+    edit_save_path,
+    save_spectrogram_png,
+    set_reproducibility,
+)
+from .run import MODEL_CHOICES, maybe_shard_pipeline
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Sweep tstart x cfg_tar over one inversion")
+    p.add_argument("--model_id", type=str, choices=MODEL_CHOICES,
+                   default="cvssp/audioldm2-music")
+    p.add_argument("--init_aud", type=str, required=True)
+    p.add_argument("--cfg_src", type=float, default=3.0)
+    p.add_argument("--cfg_tars", type=float, nargs="+", default=[12.0])
+    p.add_argument("--tstarts", type=int, nargs="+",
+                   default=[100, 110, 120, 130, 140, 150, 160],
+                   help="reference SupEval grid: skip = T - tstart")
+    p.add_argument("--num_diffusion_steps", type=int, default=200)
+    p.add_argument("--target_prompt", type=str, required=True)
+    p.add_argument("--source_prompt", type=str, default="")
+    p.add_argument("--target_neg_prompt", type=str, default="")
+    p.add_argument("--results_path", type=str, default="results")
+    p.add_argument("-s", "--seed", type=int, default=None)
+    p.add_argument("--weights_dir", type=str, default=None)
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--dp", type=int, default=1)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.eta = 1.0
+    args.numerical_fix = True
+    if not os.path.exists(args.init_aud):
+        raise FileNotFoundError(f"--init_aud: no such file: {args.init_aud}")
+    seed = set_reproducibility(args.seed)
+    rng = jax.random.PRNGKey(seed)
+    if args.weights_dir is None:
+        warnings.warn("--weights_dir not given: running with RANDOM weights.")
+
+    spec = resolve_spec(args.model_id)
+    if spec.family == "stable-audio":
+        raise NotImplementedError(
+            "the sweep tool drives the DDIM-family inversion; Stable Audio "
+            "threads solver history per tstart — use main_run.py per combo"
+        )
+
+    S = args.num_diffusion_steps
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    pipe = load_model(args.model_id, S, weights_dir=args.weights_dir,
+                      dtype=dtype)
+    maybe_shard_pipeline(pipe, args.dp, args.tp)
+
+    x0, sr, duration = load_audio(args.init_aud, pipe.mel_config, stft=True,
+                                  model_sr=pipe.get_sr())
+    x0 = jnp.asarray(x0)
+    w0 = pipe.vae_encode(x0)
+
+    empty = pipe.encode_text([""], negative=True)
+    uncond = pipe.encode_text([args.target_neg_prompt], negative=True)
+    src = pipe.encode_text([args.source_prompt]) if args.source_prompt else None
+    tgt = pipe.encode_text([args.target_prompt])
+    cfg_src_t, _ = build_cfg_tensors(w0.shape, [args.source_prompt],
+                                     [args.cfg_src], zero_empty_prompts=True)
+
+    bundle = {
+        "params": pipe.params_dict(), "sched": pipe.sched,
+        "empty": empty, "uncond": uncond, "src": src, "tgt": tgt,
+        "cfg_src_t": cfg_src_t,
+    }
+
+    # ---- ONE inversion for the whole grid --------------------------------
+    @jax.jit
+    def invert(b, w0, r):
+        p = pipe.bind({**b["params"], "sched": b["sched"]})
+        den = p.make_denoiser(b["empty"], b["src"], b["cfg_src_t"])
+        return inversion_forward_process(
+            p.sched, den, w0, r, eta=args.eta,
+            numerical_fix=args.numerical_fix)
+
+    rng, r_inv = jax.random.split(rng)
+    _, zs, xts = invert(bundle, w0, r_inv)
+
+    # ---- reverse passes: one compile per tstart, cfg_tar traced ----------
+    def make_reverse(tstart: int):
+        @jax.jit
+        def reverse(b, xts, zs, cfg_tar):
+            p = pipe.bind({**b["params"], "sched": b["sched"]})
+            cfg_t = jnp.ones((1,) + w0.shape[1:], jnp.float32) * cfg_tar
+            den = p.make_denoiser(b["uncond"], b["tgt"], cfg_t)
+            w_edit = inversion_reverse_process(p.sched, den, xts,
+                                               zs[:tstart], eta=args.eta)
+            x_dec = p.vae_decode(w_edit)
+            return x_dec, p.decode_to_mel(x_dec)
+
+        return reverse
+
+    save_path = edit_save_path(args.results_path, args.model_id,
+                               args.init_aud, [args.source_prompt],
+                               [args.target_prompt], [args.target_neg_prompt])
+    os.makedirs(save_path, exist_ok=True)
+    write_wav(os.path.join(save_path, "orig.wav"),
+              np.asarray(pipe.decode_to_mel(x0)), sr)
+
+    outs = []
+    for tstart in args.tstarts:
+        t = min(int(tstart), S)
+        reverse = make_reverse(t)
+        for cfg_tar in args.cfg_tars:
+            x_dec, audio = reverse(bundle, xts, zs,
+                                   jnp.asarray(cfg_tar, jnp.float32))
+            name = edit_image_name("ours", [args.cfg_src], [cfg_tar],
+                                   S - t, S)
+            out = os.path.join(save_path, name + ".wav")
+            write_wav(out, np.asarray(audio), sr)
+            save_spectrogram_png(os.path.join(save_path, name + ".png"),
+                                 np.asarray(x_dec))
+            outs.append(out)
+            print(f"[+] tstart={t} cfg_tar={cfg_tar}: {out}")
+    dump_run_summary(save_path, args, {"seed": seed, "n_edits": len(outs)})
+    return outs
+
+
+if __name__ == "__main__":
+    main()
