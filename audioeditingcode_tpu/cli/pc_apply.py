@@ -147,7 +147,14 @@ def main(argv=None):
 def run_pc_application(args, pipe, ex_args, eigdata, latents, xts, cfg_tar, eta):
     """Shared drift-application driver (audio + image CLIs): re-run the
     deterministic trajectory and apply PC drift inside the window.
-    Returns the final latent batch (one row per ev, or one if combined)."""
+    Returns the final latent batch (one row per ev, or one if combined).
+
+    TWO compiled scans instead of S per-step dispatches: a batch-1
+    trajectory scan up to the drift window, then a batch-n_out drift scan
+    with all eigvectors/eigvalues uploaded once as stacked scan inputs
+    (the per-step loop re-uploaded them host->device every iteration).
+    Verified against the literal per-step reference loop in
+    tests/test_pc_apply_equiv.py."""
     S = int(ex_args.num_diffusion_steps)
     uncond = pipe.encode_text(list(ex_args.target_neg_prompt), negative=True)
     text = pipe.encode_text(list(ex_args.source_prompt))
@@ -175,82 +182,108 @@ def run_pc_application(args, pipe, ex_args, eigdata, latents, xts, cfg_tar, eta)
             m[...] = 1
         mask = jnp.asarray(m)
 
-    drift_start_it = S - args.drift_start
+    drift_start_it = max(S - args.drift_start, 0)
     drift_end_it = S - args.drift_end
     timesteps = np.asarray(pipe.sched.timesteps)
 
     n_out = 1 if args.combine_evs else len(args.evs)
     uncond_n = repeat_cond(uncond, n_out)
     text_n = repeat_cond(text, n_out)
-
-    @jax.jit
-    def traj_step(params, xt, k, latent):
-        p = pipe.bind(params)
-        eps_pair_1 = p.make_eps_pair(uncond, text)
-        return forward_directional(p.sched, eps_pair_1, xt, k, latent, cfg_tar, eta=eta)
-
-    @jax.jit
-    def traj_step_n(params, xt, k, latent):
-        p = pipe.bind(params)
-        eps_pair_n = p.make_eps_pair(uncond_n, text_n)
-        return forward_directional(p.sched, eps_pair_n, xt, k, latent, cfg_tar, eta=eta)
-
     model_params = pipe.params_dict()
+    fix = args.fix_alpha is not None and xts is not None
+    pxt_all = xts if fix else jnp.zeros_like(latents)
+
+    # ---- phase A: batch-1 trajectory up to the window (one scan) --------
+    a_end = min(drift_start_it, S)
+
+    @jax.jit
+    def traj_scan(params, xt, lats):
+        p = pipe.bind(params)
+        pair = p.make_eps_pair(uncond, text)
+
+        def body(xt, inp):
+            k, latent = inp
+            xt, _ = forward_directional(p.sched, pair, xt, k, latent,
+                                        cfg_tar, eta=eta)
+            return xt, None
+
+        xt, _ = jax.lax.scan(body, xt, (jnp.arange(a_end), lats))
+        return xt
+
     xt = latents[0]
-    parallel_xt = xts[0] if (args.fix_alpha is not None and xts is not None) else None
+    if a_end > 0:
+        xt = traj_scan(model_params, xt, latents[1: a_end + 1])
+    if a_end >= S:
+        return xt
 
-    for it in range(S):
-        k = jnp.asarray(it)
-        latent = latents[it + 1]
-        step = traj_step if xt.shape[0] == 1 else traj_step_n
-        lat_b = jnp.repeat(latent, xt.shape[0], axis=0) if xt.shape[0] > 1 else latent
-        xt_m1, x0_pred = step(model_params, xt, k, lat_b)
-
-        if args.fix_alpha is not None and xts is not None:
-            parallel_xt = xts[it + 1]
-
+    # ---- phase B: batch-n_out drift scan over [a_end, S) ----------------
+    # stack per-step eig data on the host ONCE (zeros past the window; the
+    # gate keeps those steps pure-trajectory)
+    n_ev = next(iter(eigdata.values()))["eigvec"].shape[0] if eigdata else 1
+    lat_shape = tuple(np.asarray(latents[0]).shape[1:])
+    L = S - a_end
+    vecs = np.zeros((L, n_ev) + lat_shape, np.float32)
+    vals = np.zeros((L, n_ev), np.float32)
+    gate = np.zeros((L,), bool)
+    for it in range(a_end, S):
         if drift_start_it <= it < drift_end_it:
             t_val = int(timesteps[it])
-            use_t = (
-                t_val
-                if args.use_specific_ts_pc is None
-                else int(timesteps[S - args.use_specific_ts_pc])
-            )
-            vec_all = jnp.asarray(eigdata[use_t]["eigvec"])  # (n_ev, ...)
-            if evals_override is not None:
-                val_all = jnp.asarray(evals_override[t_val])
-            else:
-                val_all = jnp.asarray(eigdata[t_val]["eigval"])
+            use_t = (t_val if args.use_specific_ts_pc is None
+                     else int(timesteps[S - args.use_specific_ts_pc]))
+            vecs[it - a_end] = np.asarray(eigdata[use_t]["eigvec"]).reshape(
+                (n_ev,) + lat_shape)
+            vals[it - a_end] = (np.asarray(evals_override[t_val])
+                                if evals_override is not None
+                                else np.asarray(eigdata[t_val]["eigval"]))
+            gate[it - a_end] = True
 
+    # rows are identical entering the window, so widening the batch up
+    # front reproduces the reference's batch-1 first window step exactly
+    if xt.shape[0] == 1 and n_out > 1:
+        xt = jnp.repeat(xt, n_out, axis=0)
+
+    sel = None if args.combine_evs is False else [e - 1 for e in args.evs]
+
+    @jax.jit
+    def drift_scan(params, xt, lats, pxts, vecs, vals, gate):
+        p = pipe.bind(params)
+        pair = p.make_eps_pair(uncond_n, text_n)
+
+        def body(xt, inp):
+            k, latent, pxt, vec, val, g = inp
+            lat_b = jnp.repeat(latent, n_out, axis=0) if n_out > 1 else latent
+            xt_m1, x0_pred = forward_directional(p.sched, pair, xt, k, lat_b,
+                                                 cfg_tar, eta=eta)
             if args.combine_evs:
-                sel = [e - 1 for e in args.evs]
-                xt_m1 = apply_drift(
-                    pipe.sched, k, xt_m1, x0_pred,
-                    vec_all[jnp.asarray(sel)], val_all[jnp.asarray(sel)],
-                    latent, eta=eta, amount=args.amount,
+                drift = apply_drift(
+                    p.sched, k, xt_m1, x0_pred,
+                    vec[jnp.asarray(sel)], val[jnp.asarray(sel)], latent,
+                    eta=eta, amount=args.amount,
                     use_shifted_x0_for_noisepred=args.shift_x0_for_np,
                 )
             else:
                 outs = []
                 for ev_idx, ev_num in enumerate(args.evs):
-                    src_xt = xt_m1[ev_idx: ev_idx + 1] if xt_m1.shape[0] > 1 else xt_m1
-                    src_x0 = x0_pred[ev_idx: ev_idx + 1] if x0_pred.shape[0] > 1 else x0_pred
-                    outs.append(
-                        apply_drift(
-                            pipe.sched, k, src_xt, src_x0,
-                            vec_all[ev_num - 1: ev_num], val_all[ev_num - 1: ev_num],
-                            latent, eta=eta, amount=args.amount,
-                            use_shifted_x0_for_noisepred=args.shift_x0_for_np,
-                        )
-                    )
-                xt_m1 = jnp.concatenate(outs, axis=0)
+                    outs.append(apply_drift(
+                        p.sched, k,
+                        xt_m1[ev_idx: ev_idx + 1], x0_pred[ev_idx: ev_idx + 1],
+                        vec[ev_num - 1: ev_num], val[ev_num - 1: ev_num],
+                        latent, eta=eta, amount=args.amount,
+                        use_shifted_x0_for_noisepred=args.shift_x0_for_np,
+                    ))
+                drift = jnp.concatenate(outs, axis=0)
+            if fix:
+                drift = mask * drift + (1 - mask) * (
+                    args.fix_alpha * pxt + (1 - args.fix_alpha) * drift)
+            return jnp.where(g, drift, xt_m1), None
 
-            if args.fix_alpha is not None and parallel_xt is not None:
-                xt_m1 = mask * xt_m1 + (1 - mask) * (
-                    args.fix_alpha * parallel_xt + (1 - args.fix_alpha) * xt_m1
-                )
-        xt = xt_m1
-    return xt
+        ks = jnp.arange(a_end, S)
+        xt, _ = jax.lax.scan(body, xt, (ks, lats, pxts, vecs, vals, gate))
+        return xt
+
+    return drift_scan(model_params, xt, latents[a_end + 1: S + 1],
+                      pxt_all[a_end + 1: S + 1], jnp.asarray(vecs),
+                      jnp.asarray(vals), jnp.asarray(gate))
 
 
 if __name__ == "__main__":
