@@ -110,6 +110,8 @@ def _main_stable_audio(args, mode, pipe, rng, seed):
         # regenerate the union of the masked regions, like the mel branch;
         # time windows in latent frames (sample_rate / hop_length per s)
         mask = np.zeros(w0.shape, np.float32)
+        any_flag = (args.inpaint_window is not None
+                    or args.time_mask_ratio is not None)
         if args.inpaint_window is not None:
             per_s = pipe.sample_rate / pipe.hop_length
             f0, f1 = (int(s * per_s) for s in args.inpaint_window)
@@ -117,8 +119,12 @@ def _main_stable_audio(args, mode, pipe, rng, seed):
         if args.time_mask_ratio is not None:
             t0, t1 = (int(r * w0.shape[2]) for r in args.time_mask_ratio)
             mask[:, :, t0:t1] = 1.0
-        if not mask.any():
-            mask[...] = 1.0
+        if not any_flag:
+            mask[...] = 1.0  # no window given: regenerate everything
+        elif not mask.any():
+            raise ValueError(
+                "inpaint window selects nothing (out of range or empty) — "
+                "the output would silently equal the source")
 
         @jax.jit
         def gen(b, w0, mask, r):
@@ -215,6 +221,9 @@ def main(argv=None):
                 args.freq_mask_ratio = [0.75, 1.0]
             mask = np.zeros(w0.shape, np.float32)
             lat_t, lat_f = w0.shape[2], w0.shape[3]
+            any_flag = (args.inpaint_window is not None
+                        or args.time_mask_ratio is not None
+                        or args.freq_mask_ratio is not None)
             if args.inpaint_window is not None:
                 f0 = int(args.inpaint_window[0] * 102.4 / pipe.vae_pad_multiple)
                 f1 = int(args.inpaint_window[1] * 102.4 / pipe.vae_pad_multiple)
@@ -225,8 +234,12 @@ def main(argv=None):
             if args.freq_mask_ratio is not None:
                 b0, b1 = (int(r * lat_f) for r in args.freq_mask_ratio)
                 mask[:, :, :, b0:b1] = 1.0
-            if not mask.any():
-                mask[...] = 1.0
+            if not any_flag:
+                mask[...] = 1.0  # no window given: regenerate everything
+            elif not mask.any():
+                raise ValueError(
+                    "inpaint window selects nothing (out of range or empty)"
+                    " — the output would silently equal the source")
             w = jax.jit(lambda mp, r: inpaint_latents(
                 pipe.sched, make_denoise(pipe.bind(mp)), w0, jnp.asarray(mask),
                 r, eta=args.ddim_eta))(model_params, rng)

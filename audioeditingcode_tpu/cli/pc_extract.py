@@ -4,8 +4,9 @@ code/main_pc_extract_inv.py.
 Pipeline: edit-friendly inversion (one scan), then per-timestep subspace
 power iteration over the drift window. The n_ev eigenvector batch and the
 cond/uncond pair are fused into single UNet forwards; each timestep's
-50-iteration power loop is one jitted scan. Results are checkpointed
-incrementally every 10 timesteps like the reference (:245-250).
+50-iteration power loop is one jitted scan. Checkpoints (reference
+:245-250) land once after the single compiled trajectory scan and then
+after every ts_chunk of extracted timesteps.
 """
 
 from __future__ import annotations

@@ -53,6 +53,12 @@ class EditService:
         self.params = self.pipe.params_dict()
         self._lock = threading.Lock()  # one edit at a time per chip
         self._compiled = {}
+        self._uncond = self.pipe.encode_text([""], negative=True)
+
+    # each distinct tstart is a fresh trace+compile held under the lock
+    # (minutes through a remote-compile tunnel) — bound the cache so a
+    # client sweeping tstarts cannot grow it without limit
+    MAX_COMPILED = 8
 
     def _edit_fn(self, tstart: int):
         """Compiled edit program for a given tstart (cfg scales are traced
@@ -60,6 +66,8 @@ class EditService:
         key = tstart
         if key in self._compiled:
             return self._compiled[key]
+        if len(self._compiled) >= self.MAX_COMPILED:
+            self._compiled.pop(next(iter(self._compiled)))  # oldest entry
         jax, jnp, pipe = self.jax, self.jnp, self.pipe
         from .editing.invert import (
             inversion_forward_process,
@@ -110,6 +118,9 @@ class EditService:
 
         jnp = self.jnp
         tstart = tstart if tstart is not None else self.steps // 2
+        if not 1 <= int(tstart) <= self.steps:
+            raise ValueError(
+                f"tstart must be in [1, {self.steps}], got {tstart}")
         with tempfile.NamedTemporaryFile(suffix=".wav") as f:
             f.write(wav_bytes)
             f.flush()
@@ -137,7 +148,7 @@ class EditService:
                 w0 = self.pipe.vae_encode(jnp.asarray(x0), rng=enc_rng)
             else:
                 w0 = self.pipe.vae_encode(jnp.asarray(x0))
-            uncond = self.pipe.encode_text([""], negative=True)
+            uncond = self._uncond  # constant; encoded once at startup
             src = self.pipe.encode_text([source_prompt]) if source_prompt else None
             tgt = self.pipe.encode_text([target_prompt])
             fn = self._edit_fn(int(tstart))
@@ -196,8 +207,7 @@ def make_server(service: EditService, host: str = "127.0.0.1", port: int = 8080)
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n))
                 wav = base64.b64decode(req["audio_b64"])
-                audio, sr = service.edit(
-                    wav,
+                params = dict(
                     target_prompt=req["target_prompt"],
                     source_prompt=req.get("source_prompt", ""),
                     tstart=req.get("tstart"),
@@ -205,14 +215,26 @@ def make_server(service: EditService, host: str = "127.0.0.1", port: int = 8080)
                     cfg_tar=float(req.get("cfg_tar", 12.0)),
                     seed=int(req.get("seed", 0)),
                 )
+            except Exception as e:  # malformed request -> 400
+                self._json(400, {"error": str(e)})
+                return
+            try:
+                audio, sr = service.edit(wav, **params)
+            except (KeyError, ValueError, TypeError) as e:  # bad values
+                self._json(400, {"error": str(e)})
+                return
+            except Exception as e:  # server-side fault (compile/OOM/bug)
+                self._json(500, {"error": str(e)})
+                return
+            try:
                 body = _wav_bytes(audio, sr)
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
-            except Exception as e:  # surface request errors as 400s
-                self._json(400, {"error": str(e)})
+            except Exception:
+                pass  # client hung up mid-response; headers already sent
 
     return ThreadingHTTPServer((host, port), Handler)
 

@@ -144,10 +144,22 @@ class TestStableAudioGeneration:
         outs = main([
             "-t", "a violin", "-f", str(p), "--mode", "inpaint",
             "--model_id", "test/tiny-stable-audio", "--ddim_steps", "4",
-            "--inpaint_window", "0.05", "0.15",
+            "--time_mask_ratio", "0.25", "0.75",
             "--save_path", str(tmp_path / "inp"),
         ])
         assert os.path.exists(outs[0])
+
+        # an out-of-range window is rejected instead of silently returning
+        # the source (tiny model covers ~16 ms; 5 s is far past it)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="selects nothing"):
+            main([
+                "-t", "a violin", "-f", str(p), "--mode", "inpaint",
+                "--model_id", "test/tiny-stable-audio", "--ddim_steps", "4",
+                "--inpaint_window", "5.0", "6.0",
+                "--save_path", str(tmp_path / "inp2"),
+            ])
 
     def test_sr_rejected(self, tmp_path):
         import pytest as _pytest
