@@ -39,7 +39,8 @@ def build_cfg_tensors(
         raise ValueError("Not enough target CFG scales")
 
     if batch == 1:
-        cfg = jnp.full((1,) + inner, cfg_scales[0], dtype=dtype)
+        scale = 0.0 if (zero_empty_prompts and prompts[0] == "") else cfg_scales[0]
+        cfg = jnp.full((1,) + inner, scale, dtype=dtype)
         masks = jnp.ones((1,) + inner, dtype=dtype)
         return cfg, masks
 

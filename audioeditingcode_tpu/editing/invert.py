@@ -76,7 +76,12 @@ def inversion_forward_process(
     return_extras: bool = False,
     return_hspace: bool = False,
 ):
-    """Forward (inversion) pass: returns (xT, zs, xts[, extras][, hspaces]).
+    """Forward (inversion) pass: returns (x_fix, zs, xts[, extras][, hspaces]).
+
+    The first value is the FINAL scan carry — the numerically-fixed,
+    nearly-clean latent at the end of the trajectory (NOT the noisiest
+    x_T; start reverse passes from ``xts[tstart]``, which
+    ``inversion_reverse_process`` does internally).
 
     With ``return_hspace`` the denoiser must return ``(eps, h_space)`` (build
     it with ``pipeline.make_hooked_denoiser(return_hspace=True)``); hspaces

@@ -125,7 +125,14 @@ Solver = Any  # DDIMSolver | CosineDPMSolver
 
 
 def as_solver(sched_or_solver, eta: float = 1.0, numerical_fix: bool = True) -> Solver:
-    """Accept a raw DiffusionSchedule (legacy call sites) or a Solver."""
+    """Accept a raw schedule (DiffusionSchedule / CosineDPMSchedule) or an
+    already-constructed Solver.
+
+    NOTE: when a Solver INSTANCE is passed, its own eta/numerical_fix win
+    and this function's keyword arguments are ignored — the instance is
+    the caller's explicit configuration (e.g. run.py's --first_order
+    replaces fields on the solver directly). Pass a raw schedule if you
+    want the keywords applied."""
     if isinstance(sched_or_solver, DiffusionSchedule):
         return DDIMSolver(sched_or_solver, eta=eta, numerical_fix=numerical_fix)
     if isinstance(sched_or_solver, CosineDPMSchedule):

@@ -208,7 +208,7 @@ def _updates(sched: CosineDPMSchedule, k, sample, m0, m1, noise):
 
     h0 = jnp.log(sigma_s1) - jnp.log(sigma_s0)
     r0 = jnp.where(h == 0.0, 1.0, h0 / h)
-    d1 = jnp.where(r0 == 0.0, 0.0, 1.0 / jnp.where(r0 == 0.0, 1.0, r0)) * (m0 - m1)
+    d1 = jnp.where(r0 == 0.0, 0.0, (m0 - m1) / jnp.where(r0 == 0.0, 1.0, r0))
     x_second = x_first + 0.5 * one_m * d1
     return x_first, x_second
 

@@ -332,11 +332,9 @@ def ddim_next_step(
     where `next_timestep = timestep` and `timestep = timestep - ratio`).
     Only valid for epsilon-prediction (the reference baseline likewise assumes it).
     """
-    a_t = jnp.where(
-        sched.timesteps[k] - sched.step_ratio >= 0,
-        sched.step_alpha_prod_prev[k],
-        sched.final_alpha_cumprod,
-    )
+    # step_alpha_prod_prev already falls back to final_alpha_cumprod for
+    # negative prev timesteps (make_schedule)
+    a_t = sched.step_alpha_prod_prev[k]
     a_next = sched.step_alpha_prod[k]
     x0_pred = (sample - jnp.sqrt(1.0 - a_t) * model_output) / jnp.sqrt(a_t)
     next_sample_direction = jnp.sqrt(1.0 - a_next) * model_output
