@@ -240,3 +240,18 @@ def test_apply_drift_moves_along_pc():
     delta = np.asarray(out - xt_m1)
     expected = np.sqrt(a_prev) * 2.0 * np.asarray(eig)  # sqrt(eigval)=2
     np.testing.assert_allclose(delta, expected, atol=1e-5)
+
+
+def test_cfg_zero_empty_single_prompt():
+    """zero_empty_prompts holds in the single-prompt branch too: an empty
+    source prompt yields a zero CFG tensor (reference single-empty-prompt
+    == uncond-only, inversion_utils.py:24,47-48)."""
+    import numpy as np
+
+    shape = (1, 4, 16, 32)
+    cfg, masks = build_cfg_tensors(shape, [""], [3.0], zero_empty_prompts=True)
+    assert float(np.abs(np.asarray(cfg)).max()) == 0.0
+    cfg2, _ = build_cfg_tensors(shape, ["a drum"], [3.0], zero_empty_prompts=True)
+    assert float(np.asarray(cfg2).max()) == 3.0
+    cfg3, _ = build_cfg_tensors(shape, [""], [3.0])  # flag off: unchanged
+    assert float(np.asarray(cfg3).max()) == 3.0
