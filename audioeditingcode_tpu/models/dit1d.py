@@ -25,6 +25,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 import numpy as np
 
+from ..ops.flash_attention import fused_attention
+
 
 @dataclasses.dataclass(frozen=True)
 class DiT1DConfig:
@@ -73,11 +75,14 @@ def _rotate_half(x):
 def _apply_partial_rotary(x, cos, sin):
     """Rotate the first rot_dim features of each head (rot_dim = cos.shape[-1]).
 
-    x: (B, H, S, Dh); cos/sin: (S, rot_dim)."""
+    x: (B, S, H, Dh); cos/sin: (S, rot_dim). The rotation runs in f32 and the
+    result is cast back to x.dtype so the downstream attention matmuls stay
+    on the bf16 MXU path (f32 matmuls run at ~1/8 rate on v5e)."""
     rot_dim = cos.shape[-1]
     x_rot, x_pass = x[..., :rot_dim], x[..., rot_dim:]
-    x_rot = x_rot * cos[None, None] + _rotate_half(x_rot) * sin[None, None]
-    return jnp.concatenate([x_rot, x_pass], axis=-1).astype(x.dtype)
+    x_rot = x_rot.astype(jnp.float32)
+    x_rot = x_rot * cos[:, None] + _rotate_half(x_rot) * sin[:, None]
+    return jnp.concatenate([x_rot.astype(x.dtype), x_pass], axis=-1)
 
 
 class GaussianFourierProjection(nn.Module):
@@ -131,27 +136,28 @@ class GQAttention(nn.Module):
         k = nn.Dense(kv_inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
         v = nn.Dense(kv_inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
 
-        q = q.reshape(B, S, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-        k = k.reshape(B, ctx.shape[1], self.kv_heads, self.head_dim).transpose(0, 2, 1, 3)
-        v = v.reshape(B, ctx.shape[1], self.kv_heads, self.head_dim).transpose(0, 2, 1, 3)
+        # (B, S, H, D) layout end to end — the fused_attention contract; no
+        # (S, S) score matrix ever reaches HBM on the self-attention path
+        # (Pallas blocked kernel / XLA fused attention underneath).
+        q = q.reshape(B, S, self.heads, self.head_dim)
+        k = k.reshape(B, ctx.shape[1], self.kv_heads, self.head_dim)
+        v = v.reshape(B, ctx.shape[1], self.kv_heads, self.head_dim)
 
         if rotary is not None:
             cos, sin = rotary
-            q = _apply_partial_rotary(q.astype(jnp.float32), cos, sin)
-            k = _apply_partial_rotary(k.astype(jnp.float32), cos, sin)
+            q = _apply_partial_rotary(q, cos, sin)
+            k = _apply_partial_rotary(k, cos, sin)
 
         if self.kv_heads != self.heads:
             rep = self.heads // self.kv_heads
-            k = jnp.repeat(k, rep, axis=1)
-            v = jnp.repeat(v, rep, axis=1)
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
 
-        scale = 1.0 / jnp.sqrt(jnp.asarray(self.head_dim, jnp.float32))
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        bias = None
         if context_bias is not None:
-            attn = attn + context_bias[:, None, None, :]
-        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(B, S, inner)
+            bias = context_bias[:, None, None, :].astype(jnp.float32)
+        out = fused_attention(q, k, v, bias=bias)
+        out = out.reshape(B, S, inner)
         return nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_out_0")(out)
 
 

@@ -28,8 +28,10 @@ from jax.experimental.pallas import tpu as pltpu
 # scores VMEM budget ~4 MB at fp32 -> bq * S <= 1M elements
 _MAX_SCORE_ELEMS = 1 << 20
 # in-model on v5e the kernel is worth ~2.2x on the attention share at
-# S=4096; at S<=1024 XLA's fusion is competitive (see PERF_NOTES.md)
-_MIN_SEQ_FOR_KERNEL = 2048
+# S=4096 (UNet level-0) and ~1.3x on the whole DiT step at S=1025 (24
+# layers x 24 heads of f32 scores stay off HBM); at S<1024 XLA's fusion
+# is competitive (see PERF_NOTES.md)
+_MIN_SEQ_FOR_KERNEL = 1024
 # scoped-VMEM ceiling for the full K/V blocks (Mosaic pads the head dim to
 # 128 lanes, so small-D shapes cost 128/D more than their logical size;
 # the hard limit is 16 MB for the whole kernel stack)
@@ -41,7 +43,7 @@ def _kv_vmem_bytes(seq: int, head_dim: int, itemsize: int) -> int:
     return 2 * seq * lanes * itemsize
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
     # Matmul INPUTS stay in the model dtype (bf16 on the perf path — the
     # MXU runs f32xf32 at ~1/8 the bf16 rate on v5e); accumulation and the
     # softmax run in f32 (preferred_element_type), the standard recipe.
@@ -53,6 +55,12 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (bq, S) f32
+    if kv_len < s.shape[-1]:
+        # seq was padded to a sublane multiple (e.g. the DiT's S=1025 with
+        # its prepended global token): mask padded key columns out of the
+        # softmax; padded query rows produce garbage sliced off by the host
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, jnp.float32(-1e30))
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
@@ -70,8 +78,12 @@ def _block_q(seq: int, kv_bytes: int) -> int:
     budget = max((12 << 20) - kv_bytes, 1 << 20)
     bq = max(1, min(budget // (8 * seq), _MAX_SCORE_ELEMS // seq))
     bq = min(bq, seq, 1024)
-    # largest divisor of seq that is <= bq and sublane-friendly
-    for cand in range(bq, 0, -1):
+    if bq >= seq:
+        return seq
+    # largest divisor of seq that is <= bq AND a sublane multiple — Mosaic
+    # requires block sizes divisible by 8 unless equal to the full dim
+    # (callers pad seq to %8, so bq=8 always qualifies)
+    for cand in range(bq - bq % 8, 7, -8):
         if seq % cand == 0:
             return cand
     return seq
@@ -105,8 +117,16 @@ def _batched_blocked_attention(interpret: bool):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _blocked_attention(q, k, v, interpret: bool = False):
-    """(B, S, H, D) self-attention, scores never leave VMEM."""
-    B, S, H, D = q.shape
+    """(B, S, H, D) self-attention, scores never leave VMEM.
+
+    Sequences that are not a sublane multiple (e.g. the DiT's 1024+1 global
+    token) are zero-padded to %8; padded key columns are masked inside the
+    kernel and padded query rows sliced off here."""
+    B, S0, H, D = q.shape
+    S = -(-S0 // 8) * 8
+    if S != S0:
+        pad = ((0, 0), (0, S - S0), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
     scale = 1.0 / (D ** 0.5)
     qt = q.transpose(0, 2, 1, 3).reshape(B * H, S, D)
     kt = k.transpose(0, 2, 1, 3).reshape(B * H, S, D)
@@ -115,7 +135,7 @@ def _blocked_attention(q, k, v, interpret: bool = False):
     bq = _block_q(S, _kv_vmem_bytes(S, D, q.dtype.itemsize))
     grid = (B * H, S // bq)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
+        functools.partial(_attn_kernel, scale=scale, kv_len=S0),
         out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
         grid=grid,
         in_specs=[
@@ -135,7 +155,8 @@ def _blocked_attention(q, k, v, interpret: bool = False):
             transcendentals=B * H * S * S,
         ),
     )(qt, kt, vt)
-    return out.reshape(B, H, S, D).transpose(0, 2, 1, 3)
+    out = out.reshape(B, H, S, D).transpose(0, 2, 1, 3)
+    return out[:, :S0] if S != S0 else out
 
 
 def _chunked_attention(q, k, v, chunk: int = 512):
@@ -180,9 +201,9 @@ def fused_attention(
         bias is None
         and Q == K
         and Q >= _MIN_SEQ_FOR_KERNEL
-        and Q % 8 == 0
         and D <= 256
-        and _kv_vmem_bytes(Q, D, q.dtype.itemsize) <= _MAX_KV_VMEM_BYTES
+        and _kv_vmem_bytes(-(-Q // 8) * 8, D, q.dtype.itemsize)
+        <= _MAX_KV_VMEM_BYTES
     )
     if use_kernel:
         backend = jax.default_backend()

@@ -38,11 +38,45 @@ class TestBlockedAttention:
         np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(ref),
                                    atol=3e-2, rtol=3e-2)
 
+    @pytest.mark.parametrize("S", [1025, 1027])
+    def test_unaligned_seq_padded_and_masked(self, S):
+        # the DiT's 1024+1 global-token sequence: kernel pads to %8 and
+        # masks the padded key columns out of the softmax
+        rngs = jax.random.split(jax.random.PRNGKey(2), 3)
+        q = jax.random.normal(rngs[0], (2, S, 3, 64))
+        k = jax.random.normal(rngs[1], (2, S, 3, 64))
+        v = jax.random.normal(rngs[2], (2, S, 3, 64))
+        ref = jax.nn.dot_product_attention(q, k, v)
+        got = _blocked_attention(q, k, v, interpret=True)
+        assert got.shape == q.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_dispatcher_uses_kernel_at_1025(self):
+        # S=1025 >= the 1024 threshold -> kernel path (interpret on CPU)
+        os.environ["PALLAS_INTERPRET_ATTENTION"] = "1"
+        try:
+            q = jax.random.normal(jax.random.PRNGKey(3), (1, 1025, 2, 64))
+            ref = jax.nn.dot_product_attention(q, q, q)
+            got = fused_attention(q, q, q)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-5, rtol=2e-5)
+        finally:
+            del os.environ["PALLAS_INTERPRET_ATTENTION"]
+
     def test_block_q_divides(self):
         for seq in (512, 768, 4096, 520):
             bq = _block_q(seq, seq)
             assert seq % bq == 0
             assert bq * seq <= (1 << 20) or bq == 1
+
+    def test_block_q_sublane_multiple(self):
+        # Mosaic requires block sizes %8 (or == the full dim); S=1032 is the
+        # DiT's padded 1024+1 sequence whose halves are NOT 8-divisible
+        for seq in (1032, 1048, 2056, 4096):
+            bq = _block_q(seq, 2 * seq * 128 * 2)
+            assert seq % bq == 0
+            assert bq % 8 == 0 or bq == seq, (seq, bq)
 
     def test_dispatcher_fallback_paths(self):
         # masked / cross attention -> XLA path, shapes must still work
