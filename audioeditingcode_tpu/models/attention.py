@@ -5,8 +5,10 @@ Transformer2DModel) with TPU-friendly execution: one fused
 ``jax.nn.dot_product_attention`` per block (XLA lowers this to a flash
 kernel on TPU), bf16-safe, no dropout at inference.
 
-Dual cross-attention (the AudioLDM2 UNet's two conditioning streams —
-reference: code/models.py:691-899) is supported via ``context_1``.
+The AudioLDM2 UNet's two conditioning streams (reference:
+code/models.py:691-899) use one FULL Transformer2DModel per stream,
+interleaved in the blocks' attention lists — see
+unet2d.UNet2DConditionModel._attn_layer.
 """
 
 from __future__ import annotations
@@ -83,14 +85,12 @@ class GEGLUFeedForward(nn.Module):
 
 
 class BasicTransformerBlock(nn.Module):
-    """self-attn -> cross-attn (0, 1 or 2 streams) -> GEGLU FF, pre-LayerNorm."""
+    """self-attn -> cross-attn -> GEGLU FF, pre-LayerNorm."""
 
     dim: int
     heads: int
     head_dim: int
     cross_attention_dim: Optional[int] = None
-    double_cross_attention: bool = False  # AudioLDM2 dual-stream blocks
-    cross_attention_dim_1: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -99,8 +99,6 @@ class BasicTransformerBlock(nn.Module):
         x: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
         context_bias: Optional[jnp.ndarray] = None,
-        context_1: Optional[jnp.ndarray] = None,
-        context_1_bias: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         x = x + Attention(
@@ -120,17 +118,6 @@ class BasicTransformerBlock(nn.Module):
             name="attn2",
         )(h, context=context, attention_bias=context_bias if context is not None else None)
 
-        if self.double_cross_attention:
-            h = nn.LayerNorm(dtype=self.dtype, name="norm2_1")(x)
-            x = x + Attention(
-                self.dim,
-                self.heads,
-                self.head_dim,
-                cross_attention_dim=self.cross_attention_dim_1,
-                dtype=self.dtype,
-                name="attn2_1",
-            )(h, context=context_1, attention_bias=context_1_bias if context_1 is not None else None)
-
         h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
         x = x + GEGLUFeedForward(self.dim, dtype=self.dtype, name="ff")(h)
         return x
@@ -145,8 +132,6 @@ class Transformer2DModel(nn.Module):
     head_dim: int
     depth: int = 1
     cross_attention_dim: Optional[int] = None
-    double_cross_attention: bool = False
-    cross_attention_dim_1: Optional[int] = None
     use_linear_projection: bool = False
     norm_num_groups: int = 32
     dtype: jnp.dtype = jnp.float32
@@ -157,8 +142,6 @@ class Transformer2DModel(nn.Module):
         x: jnp.ndarray,  # NHWC
         context: Optional[jnp.ndarray] = None,
         context_bias: Optional[jnp.ndarray] = None,
-        context_1: Optional[jnp.ndarray] = None,
-        context_1_bias: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         b, h_, w_, c = x.shape
         inner = self.heads * self.head_dim
@@ -180,11 +163,9 @@ class Transformer2DModel(nn.Module):
                 self.heads,
                 self.head_dim,
                 cross_attention_dim=self.cross_attention_dim,
-                double_cross_attention=self.double_cross_attention,
-                cross_attention_dim_1=self.cross_attention_dim_1,
                 dtype=self.dtype,
                 name=f"transformer_blocks_{i}",
-            )(x, context, context_bias, context_1, context_1_bias)
+            )(x, context, context_bias)
 
         if self.use_linear_projection:
             x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)

@@ -20,6 +20,7 @@ from typing import Optional
 from ..ops.stft import MelConfig
 from ..schedulers.cosine_dpm import CosineDPMConfig
 from ..schedulers.ddim import DDIMConfig
+from .audioldm2_cond import AudioLDM2ProjectionConfig, GPT2Config
 from .dit1d import DiT1DConfig
 from .hifigan import HifiGanConfig
 from .oobleck import OobleckConfig
@@ -47,6 +48,9 @@ class ModelSpec:
     oobleck: Optional[OobleckConfig] = None
     cosine_scheduler: Optional[CosineDPMConfig] = None
     projection: Optional[ProjectionConfig] = None
+    # AudioLDM2 conditioning chain (None = full-size checkpoint defaults):
+    gpt2: Optional[GPT2Config] = None
+    projection_lm: Optional[AudioLDM2ProjectionConfig] = None
 
 
 _AUDIOLDM_SCHED = DDIMConfig(
@@ -286,6 +290,25 @@ MODEL_SPECS = {
         vae=TINY_VAE, vocoder=TINY_HIFIGAN,
         scheduler=_AUDIOLDM_SCHED, mel=_MEL_16K,
         text_encoder="null", text_embed_dim=24, text_seq_len=6,
+        recommended_steps=8,
+        gpt2=GPT2Config(n_embd=24, n_layer=2, n_head=2, n_positions=64),
+        projection_lm=AudioLDM2ProjectionConfig(
+            text_encoder_dim=16, text_encoder_1_dim=40, langauge_model_dim=24,
+        ),
+    ),
+    "test/tiny-tango": ModelSpec(
+        model_id="test/tiny-tango", family="tango",
+        unet=UNet2DConditionConfig(
+            in_channels=4, out_channels=4,
+            down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+            up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+            block_out_channels=(32, 64), layers_per_block=1, norm_num_groups=8,
+            cross_attention_dim=32, num_attention_heads=4,
+            use_linear_projection=True,
+        ),
+        vae=TINY_VAE, vocoder=TINY_HIFIGAN,
+        scheduler=_SD21_V_SCHED, mel=_MEL_16K,
+        text_encoder="t5", text_embed_dim=32, text_seq_len=16,
         recommended_steps=8,
     ),
     "test/tiny-sd": ModelSpec(

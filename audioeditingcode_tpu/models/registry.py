@@ -305,7 +305,10 @@ def _try_clap_film(weights_dir: str):
                    truncation=True, return_tensors="np")
         out = roberta(input_ids=toks["input_ids"],
                       attention_mask=toks["attention_mask"])
-        pooled = out.last_hidden_state[:, 0]
+        # ClapTextModelWithProjection projects the POOLER output
+        # (tanh(dense(CLS)), transformers modeling_clap.py) — the reference
+        # consumes text_encoder(...)[0] == text_embeds (models.py:533-537)
+        pooled = out.pooler_output
         h = jnp.maximum(pooled @ proj["w1"].T + proj["b1"], 0.0)
         emb = h @ proj["w2"].T + proj["b2"]
         emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
@@ -398,7 +401,10 @@ def _try_audioldm2_chain(spec: ModelSpec, weights_dir: str):
                         truncation=True, return_tensors="np")
         out = roberta(input_ids=toks["input_ids"],
                       attention_mask=toks["attention_mask"])
-        pooled = out.last_hidden_state[:, 0]
+        # ClapModel.get_text_features: projection of the POOLER output,
+        # L2-normalized (transformers modeling_clap.py; reference
+        # models.py:631-636 uses get_text_features)
+        pooled = out.pooler_output
         h = jnp.maximum(pooled @ clap_proj["w1"].T + clap_proj["b1"], 0.0)
         emb = h @ clap_proj["w2"].T + clap_proj["b2"]
         emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
@@ -410,14 +416,18 @@ def _try_audioldm2_chain(spec: ModelSpec, weights_dir: str):
         out = t5(input_ids=toks["input_ids"], attention_mask=toks["attention_mask"])
         return out.last_hidden_state, jnp.asarray(toks["attention_mask"])
 
-    gpt2 = GPT2Model(GPT2Config())
-    g_init = gpt2.init(jax.random.PRNGKey(0), jnp.ones((1, 4, 768)), jnp.ones((1, 4)))
+    gpt2_cfg = spec.gpt2 or GPT2Config()
+    proj_cfg = spec.projection_lm or AudioLDM2ProjectionConfig()
+    gpt2 = GPT2Model(gpt2_cfg)
+    g_init = gpt2.init(jax.random.PRNGKey(0),
+                       jnp.ones((1, 4, gpt2_cfg.n_embd)), jnp.ones((1, 4)))
     with open(gpt2_path, "rb") as f:
         gpt2_params = serialization.from_bytes(g_init, f.read())
 
-    projection = AudioLDM2ProjectionModel(AudioLDM2ProjectionConfig())
-    p_init = projection.init(jax.random.PRNGKey(0), jnp.ones((1, 1, 512)),
-                             jnp.ones((1, 4, 1024)))
+    projection = AudioLDM2ProjectionModel(proj_cfg)
+    p_init = projection.init(jax.random.PRNGKey(0),
+                             jnp.ones((1, 1, proj_cfg.text_encoder_dim)),
+                             jnp.ones((1, 4, proj_cfg.text_encoder_1_dim)))
     with open(proj_path, "rb") as f:
         projection_params = serialization.from_bytes(p_init, f.read())
 

@@ -57,7 +57,48 @@ def _map_optional(fn, *conds):
 
 
 def concat_conds(a: TextCond, b: TextCond) -> TextCond:
-    return _map_optional(lambda vs: jnp.concatenate(vs, axis=0), a, b)
+    """Batch-concat two conditioning bundles for the fused CFG call.
+
+    The reference never concatenates — it issues separate uncond/cond UNet
+    calls (inversion_utils.py:82-93) — so variable-length token streams
+    (e.g. T5 with longest-padding: "" vs a real prompt) only meet here.
+    Mismatched sequence lengths are right-padded with zero embeddings and
+    zero attention mask, which the UNet's additive -1e4 bias excludes from
+    attention, so numerics match the reference's unpadded per-call shapes.
+    """
+    fields = {}
+    for hs_name, mask_name in (("hidden_states", "attention_mask"),
+                               ("hidden_states_1", "attention_mask_1")):
+        hss = [getattr(c, hs_name) for c in (a, b)]
+        masks = [getattr(c, mask_name) for c in (a, b)]
+        if all(h is None for h in hss):
+            fields[hs_name] = fields[mask_name] = None
+            continue
+        if any(h is None for h in hss):
+            raise ValueError(f"inconsistent TextCond field {hs_name}")
+        K = max(h.shape[1] for h in hss)
+        need_mask = any(m is not None for m in masks) or any(
+            h.shape[1] != K for h in hss)
+        out_h, out_m = [], []
+        for h, m in zip(hss, masks):
+            if m is None and need_mask:
+                m = jnp.ones(h.shape[:2], jnp.int32)
+            if h.shape[1] != K:
+                h = jnp.pad(h, ((0, 0), (0, K - h.shape[1]), (0, 0)))
+                m = jnp.pad(m, ((0, 0), (0, K - m.shape[1])))
+            out_h.append(h)
+            out_m.append(m)
+        fields[hs_name] = jnp.concatenate(out_h, axis=0)
+        fields[mask_name] = (jnp.concatenate(out_m, axis=0)
+                             if need_mask else None)
+    cls = [c.class_labels for c in (a, b)]
+    if all(v is None for v in cls):
+        fields["class_labels"] = None
+    elif any(v is None for v in cls):
+        raise ValueError("inconsistent TextCond field class_labels")
+    else:
+        fields["class_labels"] = jnp.concatenate(cls, axis=0)
+    return TextCond(**fields)
 
 
 def repeat_cond(c: TextCond, n: int) -> TextCond:

@@ -8,8 +8,10 @@ the AudioLDM2 dual-cross-attention variant). One module covers:
 - AudioLDM:  FiLM conditioning via ``class_labels`` (CLAP text embedding,
   class_embed_type='simple_projection', class_embeddings_concat), attn2
   degrading to self-attention (encoder_hidden_states=None).
-- AudioLDM2: dual cross-attention streams (generated GPT-2 embeds + T5/CLAP
-  projected embeds) via ``context_1``.
+- AudioLDM2: dual conditioning streams (generated GPT-2 embeds + T5/CLAP
+  projected embeds) — one full Transformer2DModel per stream, interleaved
+  per attention position exactly like diffusers'
+  AudioLDM2UNet2DConditionModel, so real checkpoints convert name-for-name.
 - TANGO / Stable Diffusion: standard single-stream cross-attention.
 - CelebA-HQ: unconditional (no attention conditioning, no class embedding).
 
@@ -84,21 +86,42 @@ class UNet2DConditionModel(nn.Module):
     config: UNet2DConditionConfig
     dtype: jnp.dtype = jnp.float32
 
-    def _attn(self, channels: int, heads: int, name: str) -> Transformer2DModel:
+    def _attn(self, channels: int, heads: int, name: str,
+              cross_attention_dim: Optional[int]) -> Transformer2DModel:
         cfg = self.config
         return Transformer2DModel(
             in_channels=channels,
             heads=heads,
             head_dim=channels // heads,
             depth=cfg.transformer_layers_per_block,
-            cross_attention_dim=cfg.cross_attention_dim,
-            double_cross_attention=cfg.double_cross_attention,
-            cross_attention_dim_1=cfg.cross_attention_dim_1,
+            cross_attention_dim=cross_attention_dim,
             use_linear_projection=cfg.use_linear_projection,
             norm_num_groups=cfg.norm_num_groups,
             dtype=self.dtype,
             name=name,
         )
+
+    def _attn_layer(self, channels: int, heads: int, prefix: str, j: int,
+                    sample, hs, ctx_bias, hs1, ctx1_bias):
+        """One attention position — a single Transformer2DModel, or, for the
+        AudioLDM2 dual-conditioning UNet, one FULL Transformer2DModel per
+        stream, interleaved as ``attentions.{j*2}`` / ``{j*2+1}``. This is
+        diffusers' AudioLDM2UNet2DConditionModel layout (the reference
+        delegates its blocks there — code/models.py:810-899: the blocks
+        receive encoder_hidden_states AND encoder_hidden_states_1 and route
+        stream idx 0/1 to consecutive per-stream transformers), so real
+        checkpoints convert name-for-name."""
+        cfg = self.config
+        if not cfg.double_cross_attention:
+            return self._attn(
+                channels, heads, f"{prefix}_{j}", cfg.cross_attention_dim
+            )(sample, hs, ctx_bias)
+        sample = self._attn(
+            channels, heads, f"{prefix}_{2 * j}", cfg.cross_attention_dim
+        )(sample, hs, ctx_bias)
+        return self._attn(
+            channels, heads, f"{prefix}_{2 * j + 1}", cfg.cross_attention_dim_1
+        )(sample, hs1, ctx1_bias)
 
     @nn.compact
     def __call__(
@@ -166,14 +189,10 @@ class UNet2DConditionModel(nn.Module):
                     name=f"down_blocks_{i}_resnets_{j}",
                 )(sample, emb)
                 if has_attn:
-                    sample = self._attn(
-                        out_ch, cfg.heads_for_block(i), f"down_blocks_{i}_attentions_{j}"
-                    )(
-                        sample,
-                        encoder_hidden_states,
-                        ctx_bias,
-                        encoder_hidden_states_1,
-                        ctx1_bias,
+                    sample = self._attn_layer(
+                        out_ch, cfg.heads_for_block(i), f"down_blocks_{i}_attentions", j,
+                        sample, encoder_hidden_states, ctx_bias,
+                        encoder_hidden_states_1, ctx1_bias,
                     )
                 down_block_res_samples.append(sample)
             if not is_final:
@@ -189,10 +208,12 @@ class UNet2DConditionModel(nn.Module):
                 mid_ch, norm_num_groups=cfg.norm_num_groups, dtype=self.dtype,
                 name="mid_block_resnets_0",
             )(sample, emb)
-            sample = self._attn(
+            sample = self._attn_layer(
                 mid_ch, cfg.heads_for_block(len(cfg.block_out_channels) - 1),
-                "mid_block_attentions_0",
-            )(sample, encoder_hidden_states, ctx_bias, encoder_hidden_states_1, ctx1_bias)
+                "mid_block_attentions", 0,
+                sample, encoder_hidden_states, ctx_bias,
+                encoder_hidden_states_1, ctx1_bias,
+            )
             sample = ResnetBlock2D(
                 mid_ch, norm_num_groups=cfg.norm_num_groups, dtype=self.dtype,
                 name="mid_block_resnets_1",
@@ -244,14 +265,10 @@ class UNet2DConditionModel(nn.Module):
                     name=f"up_blocks_{i}_resnets_{j}",
                 )(sample, emb)
                 if has_attn:
-                    sample = self._attn(
-                        out_ch, cfg.heads_for_block(rev_i), f"up_blocks_{i}_attentions_{j}"
-                    )(
-                        sample,
-                        encoder_hidden_states,
-                        ctx_bias,
-                        encoder_hidden_states_1,
-                        ctx1_bias,
+                    sample = self._attn_layer(
+                        out_ch, cfg.heads_for_block(rev_i), f"up_blocks_{i}_attentions", j,
+                        sample, encoder_hidden_states, ctx_bias,
+                        encoder_hidden_states_1, ctx1_bias,
                     )
             if not is_final:
                 sample = Upsample2D(

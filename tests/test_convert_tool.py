@@ -165,6 +165,57 @@ class TestProjectionConversions:
         )
 
 
+def make_dit_state_dict(cfg, rng) -> dict:
+    """Diffusers-style StableAudioDiTModel state dict with correct shapes
+    (shared with tests/test_convert_integration.py's fake checkpoints)."""
+    E, C = cfg.inner_dim, cfg.in_channels
+
+    def lin(o, i):
+        return rng.randn(o, i).astype(np.float32)
+
+    sd = {
+        "time_proj.weight": rng.randn(cfg.time_proj_dim // 2).astype(np.float32),
+        "timestep_proj.0.weight": lin(E, cfg.time_proj_dim),
+        "timestep_proj.0.bias": rng.randn(E).astype(np.float32),
+        "timestep_proj.2.weight": lin(E, E),
+        "timestep_proj.2.bias": rng.randn(E).astype(np.float32),
+        "global_proj.0.weight": lin(E, cfg.global_states_input_dim),
+        "global_proj.2.weight": lin(E, E),
+        "cross_attention_proj.0.weight": lin(cfg.cross_attention_dim,
+                                             cfg.cross_attention_input_dim),
+        "cross_attention_proj.2.weight": lin(cfg.cross_attention_dim,
+                                             cfg.cross_attention_dim),
+        "preprocess_conv.weight": rng.randn(C, C, 1).astype(np.float32),
+        "proj_in.weight": lin(E, C),
+        "proj_out.weight": lin(cfg.out_channels, E),
+        "postprocess_conv.weight": rng.randn(C, C, 1).astype(np.float32),
+    }
+    kv = cfg.num_key_value_attention_heads * cfg.attention_head_dim
+    for i in range(cfg.num_layers):
+        b = f"transformer_blocks.{i}."
+        sd |= {
+            b + "norm1.weight": rng.randn(E).astype(np.float32),
+            b + "norm1.bias": rng.randn(E).astype(np.float32),
+            b + "attn1.to_q.weight": lin(E, E),
+            b + "attn1.to_k.weight": lin(kv, E),
+            b + "attn1.to_v.weight": lin(kv, E),
+            b + "attn1.to_out.0.weight": lin(E, E),
+            b + "norm2.weight": rng.randn(E).astype(np.float32),
+            b + "norm2.bias": rng.randn(E).astype(np.float32),
+            b + "attn2.to_q.weight": lin(E, E),
+            b + "attn2.to_k.weight": lin(kv, cfg.cross_attention_dim),
+            b + "attn2.to_v.weight": lin(kv, cfg.cross_attention_dim),
+            b + "attn2.to_out.0.weight": lin(E, E),
+            b + "norm3.weight": rng.randn(E).astype(np.float32),
+            b + "norm3.bias": rng.randn(E).astype(np.float32),
+            b + "ff.net.0.proj.weight": lin(2 * 4 * E, E),
+            b + "ff.net.0.proj.bias": rng.randn(2 * 4 * E).astype(np.float32),
+            b + "ff.net.2.weight": lin(E, 4 * E),
+            b + "ff.net.2.bias": rng.randn(E).astype(np.float32),
+        }
+    return sd
+
+
 class TestDiTConversion:
     def test_synthetic_state_dict_roundtrip(self):
         """Build a diffusers-style DiT state dict with correct shapes and
@@ -183,53 +234,7 @@ class TestDiTConversion:
             rotary_tables(cfg.rotary_embed_dim, L + 1),
         )
 
-        rng = np.random.RandomState(0)
-        E, C = cfg.inner_dim, cfg.in_channels
-
-        def lin(o, i):
-            return rng.randn(o, i).astype(np.float32)
-
-        sd = {
-            "time_proj.weight": rng.randn(cfg.time_proj_dim // 2).astype(np.float32),
-            "timestep_proj.0.weight": lin(E, cfg.time_proj_dim),
-            "timestep_proj.0.bias": rng.randn(E).astype(np.float32),
-            "timestep_proj.2.weight": lin(E, E),
-            "timestep_proj.2.bias": rng.randn(E).astype(np.float32),
-            "global_proj.0.weight": lin(E, cfg.global_states_input_dim),
-            "global_proj.2.weight": lin(E, E),
-            "cross_attention_proj.0.weight": lin(cfg.cross_attention_dim,
-                                                 cfg.cross_attention_input_dim),
-            "cross_attention_proj.2.weight": lin(cfg.cross_attention_dim,
-                                                 cfg.cross_attention_dim),
-            "preprocess_conv.weight": rng.randn(C, C, 1).astype(np.float32),
-            "proj_in.weight": lin(E, C),
-            "proj_out.weight": lin(cfg.out_channels, E),
-            "postprocess_conv.weight": rng.randn(C, C, 1).astype(np.float32),
-        }
-        kv = cfg.num_key_value_attention_heads * cfg.attention_head_dim
-        for i in range(cfg.num_layers):
-            b = f"transformer_blocks.{i}."
-            sd |= {
-                b + "norm1.weight": rng.randn(E).astype(np.float32),
-                b + "norm1.bias": rng.randn(E).astype(np.float32),
-                b + "attn1.to_q.weight": lin(E, E),
-                b + "attn1.to_k.weight": lin(kv, E),
-                b + "attn1.to_v.weight": lin(kv, E),
-                b + "attn1.to_out.0.weight": lin(E, E),
-                b + "norm2.weight": rng.randn(E).astype(np.float32),
-                b + "norm2.bias": rng.randn(E).astype(np.float32),
-                b + "attn2.to_q.weight": lin(E, E),
-                b + "attn2.to_k.weight": lin(kv, cfg.cross_attention_dim),
-                b + "attn2.to_v.weight": lin(kv, cfg.cross_attention_dim),
-                b + "attn2.to_out.0.weight": lin(E, E),
-                b + "norm3.weight": rng.randn(E).astype(np.float32),
-                b + "norm3.bias": rng.randn(E).astype(np.float32),
-                b + "ff.net.0.proj.weight": lin(2 * 4 * E, E),
-                b + "ff.net.0.proj.bias": rng.randn(2 * 4 * E).astype(np.float32),
-                b + "ff.net.2.weight": lin(E, 4 * E),
-                b + "ff.net.2.bias": rng.randn(E).astype(np.float32),
-            }
-
+        sd = make_dit_state_dict(cfg, np.random.RandomState(0))
         params = convert_dit(sd, init)
         p = params["params"]
         np.testing.assert_allclose(np.asarray(p["time_proj"]["weight"]),

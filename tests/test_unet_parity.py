@@ -1,10 +1,24 @@
 """Numerical parity of the Flax UNet2DConditionModel vs a torch reference
 with diffusers' exact architecture and state-dict naming.
 
-Two configurations are checked end-to-end through the weight converter:
+Three configurations are checked end-to-end through the weight converter:
 - SD-style: cross-attention conditioning (conv proj_in, GEGLU FF);
 - AudioLDM-style: FiLM class conditioning (class_embeddings_concat) with
-  attn2 degraded to self-attention.
+  attn2 degraded to self-attention;
+- AudioLDM2-style: dual conditioning streams — one FULL Transformer2DModel
+  per stream interleaved in each block's ``attentions`` list with linear
+  proj_in/out, diffusers' AudioLDM2UNet2DConditionModel layout (the
+  reference drives those blocks with encoder_hidden_states +
+  encoder_hidden_states_1, code/models.py:810-899).
+
+Oracle-module provenance (diffusers v0.27 source):
+- TRes      = diffusers.models.resnet.ResnetBlock2D (default config)
+- TAttention= diffusers.models.attention_processor.Attention
+- TBlock    = diffusers.models.attention.BasicTransformerBlock (geglu)
+- TTransformer = diffusers.models.transformers.transformer_2d
+  .Transformer2DModel (conv or linear projection)
+- TUNet     = diffusers.models.unets.unet_2d_condition.UNet2DConditionModel
+  topology for a 2-level layers_per_block=1 config
 """
 
 import numpy as np
@@ -39,6 +53,16 @@ FILM_CFG = UNet2DConditionConfig(
     class_embed_type="simple_projection",
     projection_class_embeddings_input_dim=6,
     class_embeddings_concat=True,
+)
+
+DUAL_CFG = UNet2DConditionConfig(
+    in_channels=4, out_channels=4,
+    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+    block_out_channels=(8, 16), layers_per_block=1, norm_num_groups=4,
+    cross_attention_dim=12, double_cross_attention=True,
+    cross_attention_dim_1=20, num_attention_heads=2,
+    use_linear_projection=True,
 )
 
 
@@ -119,16 +143,22 @@ class TBlock(tnn.Module):
 
 
 class TTransformer(tnn.Module):
-    def __init__(self, c, ctx_dim, heads, groups):
+    def __init__(self, c, ctx_dim, heads, groups, linear=False):
         super().__init__()
+        self.linear = linear
         self.norm = tnn.GroupNorm(groups, c, eps=1e-6)
-        self.proj_in = tnn.Conv2d(c, c, 1)
+        self.proj_in = tnn.Linear(c, c) if linear else tnn.Conv2d(c, c, 1)
         self.transformer_blocks = tnn.ModuleList([TBlock(c, ctx_dim, heads)])
-        self.proj_out = tnn.Conv2d(c, c, 1)
+        self.proj_out = tnn.Linear(c, c) if linear else tnn.Conv2d(c, c, 1)
 
     def forward(self, x, ctx):
         b, c, h, w = x.shape
         r = x
+        if self.linear:
+            x = self.norm(x).reshape(b, c, h * w).transpose(1, 2)
+            x = self.transformer_blocks[0](self.proj_in(x), ctx)
+            x = self.proj_out(x).transpose(1, 2).reshape(b, c, h, w)
+            return x + r
         x = self.proj_in(self.norm(x))
         x = x.reshape(b, c, h * w).transpose(1, 2)
         x = self.transformer_blocks[0](x, ctx)
@@ -147,7 +177,8 @@ class TUNet(tnn.Module):
         chans = cfg.block_out_channels
         temb = chans[0] * 4
         res_temb = temb * 2 if cfg.class_embeddings_concat else temb
-        ctx = cfg.cross_attention_dim
+        heads = cfg.num_attention_heads
+        lin = cfg.use_linear_projection
         self.conv_in = tnn.Conv2d(cfg.in_channels, chans[0], 3, padding=1)
         te = tnn.Module()
         te.linear_1 = tnn.Linear(chans[0], temb)
@@ -158,11 +189,17 @@ class TUNet(tnn.Module):
                 cfg.projection_class_embeddings_input_dim, temb
             )
 
+        def attn_list(c):
+            # diffusers AudioLDM2 layout: one FULL Transformer2DModel per
+            # conditioning stream, interleaved per attention position
+            if cfg.double_cross_attention:
+                return [TTransformer(c, cfg.cross_attention_dim, heads, g, lin),
+                        TTransformer(c, cfg.cross_attention_dim_1, heads, g, lin)]
+            return [TTransformer(c, cfg.cross_attention_dim, heads, g, lin)]
+
         down0 = _Level()
         down0.resnets = tnn.ModuleList([TRes(chans[0], chans[0], res_temb, g)])
-        down0.attentions = tnn.ModuleList(
-            [TTransformer(chans[0], ctx, cfg.num_attention_heads, g)]
-        )
+        down0.attentions = tnn.ModuleList(attn_list(chans[0]))
         down0.downsamplers = tnn.ModuleList([_conv_holder(chans[0])])
         down1 = _Level()
         down1.resnets = tnn.ModuleList([TRes(chans[0], chans[1], res_temb, g)])
@@ -172,9 +209,7 @@ class TUNet(tnn.Module):
         mid.resnets = tnn.ModuleList(
             [TRes(chans[1], chans[1], res_temb, g), TRes(chans[1], chans[1], res_temb, g)]
         )
-        mid.attentions = tnn.ModuleList(
-            [TTransformer(chans[1], ctx, cfg.num_attention_heads, g)]
-        )
+        mid.attentions = tnn.ModuleList(attn_list(chans[1]))
         self.mid_block = mid
 
         up0 = _Level()
@@ -188,15 +223,22 @@ class TUNet(tnn.Module):
             [TRes(chans[1] + chans[0], chans[0], res_temb, g),
              TRes(chans[0] + chans[0], chans[0], res_temb, g)]
         )
-        up1.attentions = tnn.ModuleList(
-            [TTransformer(chans[0], ctx, cfg.num_attention_heads, g),
-             TTransformer(chans[0], ctx, cfg.num_attention_heads, g)]
-        )
+        up1.attentions = tnn.ModuleList(attn_list(chans[0]) + attn_list(chans[0]))
         self.up_blocks = tnn.ModuleList([up0, up1])
 
         self.conv_norm_out = tnn.GroupNorm(g, chans[0])
         self.conv_out = tnn.Conv2d(chans[0], cfg.out_channels, 3, padding=1)
         self.cfg = cfg
+
+    def apply_attns(self, level, pos, h, ctx0, ctx1=None):
+        """Apply the attention stack at one position: stream-interleaved for
+        the dual layout (diffusers modeling_audioldm2 CrossAttnDownBlock2D
+        forward: attentions[pos*npl + idx] with idx 0 -> encoder_hidden_states,
+        idx 1 -> encoder_hidden_states_1)."""
+        if self.cfg.double_cross_attention:
+            h = level.attentions[2 * pos](h, ctx0)
+            return level.attentions[2 * pos + 1](h, ctx1)
+        return level.attentions[pos](h, ctx0)
 
 
 
@@ -206,9 +248,9 @@ def _conv_holder(c, k=3, p=0):
     return m
 
 
-@pytest.mark.parametrize("cfg_name", ["sd", "film"])
+@pytest.mark.parametrize("cfg_name", ["sd", "film", "dual"])
 def test_unet_parity(cfg_name):
-    cfg = SD_CFG if cfg_name == "sd" else FILM_CFG
+    cfg = {"sd": SD_CFG, "film": FILM_CFG, "dual": DUAL_CFG}[cfg_name]
     torch.manual_seed(0)
     tun = TUNet(cfg).eval()
     fun = UNet2DConditionModel(cfg)
@@ -219,12 +261,16 @@ def test_unet_parity(cfg_name):
            if cfg.cross_attention_dim else None)
     cls = (np.random.default_rng(2).standard_normal((2, 6)).astype(np.float32)
            if cfg.class_embed_type else None)
+    ctx1 = (np.random.default_rng(3).standard_normal((2, 3, 20)).astype(np.float32)
+            if cfg.double_cross_attention else None)
 
     xn = jnp.asarray(x.transpose(0, 2, 3, 1))
     params = fun.init(
         jax.random.PRNGKey(0), xn, jnp.asarray(t),
         None if ctx is None else jnp.asarray(ctx),
         None if cls is None else jnp.asarray(cls),
+        None,
+        None if ctx1 is None else jnp.asarray(ctx1),
     )
     sd = {k: v.detach().numpy() for k, v in tun.state_dict().items()}
     params = {"params": torch_to_flax_params(sd, params["params"])}
@@ -236,6 +282,7 @@ def test_unet_parity(cfg_name):
         tx = torch.from_numpy(x)
         tctx = None if ctx is None else torch.from_numpy(ctx)
         tcls = None if cls is None else torch.from_numpy(cls)
+        tctx1 = None if ctx1 is None else torch.from_numpy(ctx1)
         temb = timestep_embedding(torch.from_numpy(t), cfg.block_out_channels[0])
         emb = tun.time_embedding.linear_2(F.silu(tun.time_embedding.linear_1(temb)))
         if tcls is not None:
@@ -244,14 +291,14 @@ def test_unet_parity(cfg_name):
         h = tun.conv_in(tx)
         res = [h]
         h = tun.down_blocks[0].resnets[0](h, emb)
-        h = tun.down_blocks[0].attentions[0](h, tctx)
+        h = tun.apply_attns(tun.down_blocks[0], 0, h, tctx, tctx1)
         res.append(h)
         h = tun.down_blocks[0].downsamplers[0].conv(F.pad(h, (1, 1, 1, 1)))
         res.append(h)
         h = tun.down_blocks[1].resnets[0](h, emb)
         res.append(h)
         h = tun.mid_block.resnets[0](h, emb)
-        h = tun.mid_block.attentions[0](h, tctx)
+        h = tun.apply_attns(tun.mid_block, 0, h, tctx, tctx1)
         h = tun.mid_block.resnets[1](h, emb)
         for j in range(2):
             h = tun.up_blocks[0].resnets[j](torch.cat([h, res.pop()], 1), emb)
@@ -259,13 +306,15 @@ def test_unet_parity(cfg_name):
             F.interpolate(h, scale_factor=2.0, mode="nearest"))
         for j in range(2):
             h = tun.up_blocks[1].resnets[j](torch.cat([h, res.pop()], 1), emb)
-            h = tun.up_blocks[1].attentions[j](h, tctx)
+            h = tun.apply_attns(tun.up_blocks[1], j, h, tctx, tctx1)
         ref = tun.conv_out(F.silu(tun.conv_norm_out(h))).numpy()
 
     ours, _, _ = fun.apply(
         params, xn, jnp.asarray(t),
         None if ctx is None else jnp.asarray(ctx),
         None if cls is None else jnp.asarray(cls),
+        None,
+        None if ctx1 is None else jnp.asarray(ctx1),
     )
     ours = np.asarray(ours).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(ours, ref, atol=5e-5, rtol=1e-3)

@@ -279,20 +279,25 @@ def convert(model_id: str, src: str, out: str) -> None:
         )
         import jax
 
-        gpt2 = GPT2Model(GPT2Config())
-        g_init = gpt2.init(jax.random.PRNGKey(0), jnp.ones((1, 4, 768)),
-                           jnp.ones((1, 4)))
+        gpt2_cfg = spec.gpt2 or GPT2Config()
+        gpt2 = GPT2Model(gpt2_cfg)
+        g_init = gpt2.init(jax.random.PRNGKey(0),
+                           jnp.ones((1, 4, gpt2_cfg.n_embd)), jnp.ones((1, 4)))
         save_msgpack(convert_gpt2(
             load_subfolder_state_dict(src, "language_model"), g_init),
             os.path.join(out, "gpt2.msgpack"))
 
-        proj = AudioLDM2ProjectionModel(AudioLDM2ProjectionConfig())
-        p_init = proj.init(jax.random.PRNGKey(0), jnp.ones((1, 1, 512)),
-                           jnp.ones((1, 4, 1024)))
+        proj_cfg = spec.projection_lm or AudioLDM2ProjectionConfig()
+        proj = AudioLDM2ProjectionModel(proj_cfg)
+        p_init = proj.init(jax.random.PRNGKey(0),
+                           jnp.ones((1, 1, proj_cfg.text_encoder_dim)),
+                           jnp.ones((1, 4, proj_cfg.text_encoder_1_dim)))
         save_msgpack(convert_projection_lm(
             load_subfolder_state_dict(src, "projection_model"), p_init),
             os.path.join(out, "projection_lm.msgpack"))
-        _export_t5(src, out, subfolder="text_encoder_2")
+        # AudioLDM2 layout: tokenizer = RoBERTa (CLAP), tokenizer_2 = T5
+        _export_t5(src, out, subfolder="text_encoder_2",
+                   tokenizer_subfolder="tokenizer_2")
         _export_clap_text(src, out)
     elif spec.family == "audioldm":
         _export_clap_text(src, out)
@@ -318,7 +323,8 @@ def _export_clip(src: str, out: str) -> None:
         print(f"[!] clip export skipped: {e}")
 
 
-def _export_t5(src: str, out: str, subfolder: str = "text_encoder") -> None:
+def _export_t5(src: str, out: str, subfolder: str = "text_encoder",
+               tokenizer_subfolder: str = "tokenizer") -> None:
     """Export the T5 encoder as a transformers-Flax directory."""
     try:
         from transformers import AutoTokenizer, FlaxT5EncoderModel
@@ -326,7 +332,7 @@ def _export_t5(src: str, out: str, subfolder: str = "text_encoder") -> None:
         t5 = FlaxT5EncoderModel.from_pretrained(
             os.path.join(src, subfolder), from_pt=True
         )
-        tok = AutoTokenizer.from_pretrained(os.path.join(src, "tokenizer"))
+        tok = AutoTokenizer.from_pretrained(os.path.join(src, tokenizer_subfolder))
         d = os.path.join(out, "t5")
         t5.save_pretrained(d)
         tok.save_pretrained(d)
@@ -336,20 +342,61 @@ def _export_t5(src: str, out: str, subfolder: str = "text_encoder") -> None:
 
 
 def _export_clap_text(src: str, out: str) -> None:
-    """Export the CLAP text branch: RoBERTa weights + 2-layer projection."""
+    """Export the CLAP text branch: RoBERTa weights (incl. the POOLER the
+    projection consumes — transformers ClapModel.get_text_features projects
+    pooler_output) + the 2-layer projection.
+
+    The checkpoint's text_encoder subfolder holds a ClapTextModelWithProjection
+    (AudioLDM) or a full ClapModel (AudioLDM2); either way the transformer
+    body lives under the ``text_model.`` prefix and is architecturally a
+    RobertaModel ("Copied from" in transformers modeling_clap.py), so we
+    re-home the weights into a plain RobertaModel and export THAT as
+    transformers-Flax — loading the prefixed state dict into FlaxRobertaModel
+    directly would silently random-init every layer.
+    """
     try:
-        from transformers import AutoTokenizer, ClapTextModelWithProjection
+        import tempfile
+        import torch
+        from transformers import (
+            AutoTokenizer,
+            ClapTextModelWithProjection,
+            FlaxRobertaModel,
+            RobertaConfig,
+            RobertaModel,
+        )
 
         m = ClapTextModelWithProjection.from_pretrained(
             os.path.join(src, "text_encoder")
         )
         d = os.path.join(out, "clap_text")
         os.makedirs(d, exist_ok=True)
-        # RoBERTa body as flax
-        from transformers import FlaxRobertaModel
 
-        fl = FlaxRobertaModel.from_pretrained(os.path.join(src, "text_encoder"),
-                                              from_pt=True)
+        tc = m.config
+        rcfg = RobertaConfig(
+            vocab_size=tc.vocab_size, hidden_size=tc.hidden_size,
+            num_hidden_layers=tc.num_hidden_layers,
+            num_attention_heads=tc.num_attention_heads,
+            intermediate_size=tc.intermediate_size,
+            max_position_embeddings=tc.max_position_embeddings,
+            type_vocab_size=tc.type_vocab_size, pad_token_id=tc.pad_token_id,
+            layer_norm_eps=tc.layer_norm_eps, hidden_act=tc.hidden_act,
+        )
+        roberta = RobertaModel(rcfg)
+        # CLAP persists position_ids/token_type_ids buffers (persistent=True
+        # in modeling_clap.py); Roberta keeps them non-persistent — drop them
+        buffers = ("position_ids", "token_type_ids")
+        body_sd = {k.removeprefix("text_model."): v
+                   for k, v in m.state_dict().items()
+                   if k.startswith("text_model.")
+                   and not k.endswith(buffers)}
+        missing, unexpected = roberta.load_state_dict(body_sd, strict=False)
+        real_missing = [k for k in missing if not k.endswith(buffers)]
+        if real_missing or unexpected:
+            raise ValueError(f"clap->roberta mapping incomplete: "
+                             f"missing={real_missing[:5]} unexpected={unexpected[:5]}")
+        with tempfile.TemporaryDirectory() as tmp:
+            roberta.save_pretrained(tmp, safe_serialization=False)
+            fl = FlaxRobertaModel.from_pretrained(tmp, from_pt=True)
         fl.save_pretrained(d)
         AutoTokenizer.from_pretrained(os.path.join(src, "tokenizer")).save_pretrained(d)
         proj = m.text_projection
