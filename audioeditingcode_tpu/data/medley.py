@@ -5,8 +5,9 @@ Reader for the prompt dataset the reference ships and evaluates on
 ``filename, source_captions``; captions_targets.csv — ``filename,
 target_captions, can_be_used_without_source, source_caption_index``;
 documented in README.md:116-121): 107 source + 696 target prompts for 34
-MusicDelta excerpts. The CSVs themselves are CC-BY-licensed data obtained
-with the reference repo; point this loader at a checkout.
+MusicDelta excerpts. The CC-BY-licensed CSVs are vendored in
+``MedleyMDPrompts/`` next to this module (see ATTRIBUTION.md), so the
+eval sweep is self-serving; pass explicit paths to use another checkout.
 
 ``iter_edit_pairs`` yields the (source_prompt, target_prompt) combinations
 used by the supervised evaluation sweep: every target is paired with its
@@ -18,6 +19,7 @@ from __future__ import annotations
 
 import csv
 import dataclasses
+import os
 from collections import defaultdict
 from typing import Dict, Iterator, List, Tuple
 
@@ -30,8 +32,14 @@ class MedleyPrompt:
     source_caption_index: Tuple[int, ...]  # 1-based indices into the sources
 
 
+VENDORED_DIR = os.path.join(os.path.dirname(__file__), "MedleyMDPrompts")
+DEFAULT_SOURCES_CSV = os.path.join(VENDORED_DIR, "captions_sources.csv")
+DEFAULT_TARGETS_CSV = os.path.join(VENDORED_DIR, "captions_targets.csv")
+
+
 def load_medley_prompts(
-    sources_csv: str, targets_csv: str
+    sources_csv: str = DEFAULT_SOURCES_CSV,
+    targets_csv: str = DEFAULT_TARGETS_CSV,
 ) -> Tuple[Dict[str, List[str]], List[MedleyPrompt]]:
     """Returns (sources: filename -> [source captions], targets)."""
     sources: Dict[str, List[str]] = defaultdict(list)

@@ -39,15 +39,20 @@ def test_load_and_pair(tmp_path):
     assert len(pairs) == 6
 
 
-def test_reference_csvs_if_present():
-    import os
-    base = "/root/reference/MedleyMDPrompts"
-    if not os.path.isdir(base):
-        return
-    sources, targets = load_medley_prompts(
-        os.path.join(base, "captions_sources.csv"),
-        os.path.join(base, "captions_targets.csv"),
-    )
+def test_vendored_csvs_default_paths():
+    """The CC-BY CSVs are vendored in-package: the loader works with no
+    arguments and no reference checkout (107 sources / 696 targets,
+    reference README.md:116-121)."""
+    sources, targets = load_medley_prompts()
     assert sum(len(v) for v in sources.values()) == 107
     assert len(targets) == 696
     assert len(list(iter_edit_pairs(sources, targets))) > 696
+
+
+def test_vendored_attribution_present():
+    import os
+
+    from audioeditingcode_tpu.data.medley import VENDORED_DIR
+
+    assert os.path.exists(os.path.join(VENDORED_DIR, "LICENSE"))
+    assert os.path.exists(os.path.join(VENDORED_DIR, "ATTRIBUTION.md"))
