@@ -20,7 +20,17 @@ import numpy as np
 def set_reproducibility(seed: Optional[int]):
     """Seed host RNGs; returns the JAX PRNG seed to use (random if None).
 
-    Also enables the persistent compilation cache (utils/jax_setup.py)."""
+    Also enables the persistent compilation cache (utils/jax_setup.py), and
+    honors AEC_PLATFORM=cpu|tpu: the ambient JAX_PLATFORMS env var is
+    overridden by preloaded TPU plugins (axon), so CPU smoke runs need an
+    in-process config update — which must land before ANY backend
+    initialization, hence here, ahead of the cache setup."""
+    platform = os.environ.get("AEC_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
     from ..utils.jax_setup import enable_compilation_cache
 
     enable_compilation_cache()
@@ -131,6 +141,11 @@ class WandbStub:
 
 
 def init_wandb(args, job_type: str, name: str):
+    """Open a wandb run mirroring the reference's surface: project "AudInv",
+    name falling back to the output basename, group/job_type, and
+    config.update(args) (reference: main_run.py:96-102,
+    main_pc_extract_inv.py:85-92). Returns the wandb module (log through it)
+    or a no-op stub when disabled/unavailable."""
     if getattr(args, "wandb_disable", True):
         return WandbStub()
     try:
@@ -138,10 +153,61 @@ def init_wandb(args, job_type: str, name: str):
     except ImportError:
         print("[!] wandb not installed; logging disabled")
         return WandbStub()
-    run = wandb.init(project="AudInv", config={}, name=args.wandb_name or name,
-                     group=args.wandb_group, job_type=job_type)
+    mode = os.environ.get("WANDB_MODE", "online")
+    wandb.init(project="AudInv", config={},
+               name=getattr(args, "wandb_name", None) or name,
+               group=getattr(args, "wandb_group", None),
+               job_type=job_type, mode=mode)
     wandb.config.update(vars(args))
     return wandb
+
+
+def log_edit_artifacts(wandb, name: str, sr: int,
+                       orig_audio: np.ndarray, gen_audio: np.ndarray,
+                       orig_spec: Optional[np.ndarray] = None,
+                       gen_spec: Optional[np.ndarray] = None) -> None:
+    """Log the reference's per-edit artifact set: original + generated audio
+    and their spectrograms (reference: main_run.py:226-231)."""
+    if isinstance(wandb, WandbStub):
+        return
+    d = {
+        "orig": wandb.Audio(np.asarray(orig_audio).squeeze(), caption="orig",
+                            sample_rate=sr),
+        "gen": wandb.Audio(np.asarray(gen_audio).squeeze(), caption=name,
+                           sample_rate=sr),
+    }
+    if orig_spec is not None:
+        d["orig_spec"] = wandb.Image(np.asarray(orig_spec), caption="orig")
+    if gen_spec is not None:
+        d["gen_spec"] = wandb.Image(np.asarray(gen_spec), caption=name)
+    wandb.log(d)
+
+
+def log_pc_corrs(wandb, corrs, in_corrs, eigvals, n_evs: int) -> None:
+    """Log PC-extraction diagnostics: per-PC eigenvalues and the power-method
+    convergence correlations (reference: main_pc_extract_inv.py:222-231 logs
+    per-iteration wandb.plot.line tables + eigvals)."""
+    if isinstance(wandb, WandbStub):
+        return
+    corrs = np.asarray(corrs) if len(corrs) else np.zeros((0, n_evs))
+    in_corrs = np.asarray(in_corrs) if len(in_corrs) else np.zeros((0, 1, n_evs))
+    eigvals = np.asarray(eigvals) if len(eigvals) else np.zeros((0, n_evs))
+    for ev in range(n_evs):
+        if in_corrs.size:
+            mean_conv = in_corrs.mean(axis=0)
+            table = wandb.Table(
+                data=[[int(i), float(c)] for i, c in enumerate(mean_conv[:, ev])],
+                columns=["iter", "corr"])
+            wandb.log({f"in_corr_{ev}": wandb.plot.line(
+                table, "iter", "corr",
+                title=f"Subspace iteration correlations #PC {ev}")})
+        if eigvals.size:
+            for it in range(eigvals.shape[0]):
+                wandb.log({f"eigval_{ev}": float(eigvals[it, ev])}, step=it,
+                          commit=ev == n_evs - 1)
+    if corrs.size:
+        fig1, _ = plot_corrs(corrs, in_corrs, n_evs)
+        wandb.log({"pc_corrs": wandb.Image(fig1)})
 
 
 def dump_run_summary(save_path: str, args, extra=None) -> None:

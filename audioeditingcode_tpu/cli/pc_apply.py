@@ -49,10 +49,17 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv=None):
+def parse_args(argv=None):
+    """Parse + apply the reference's hidden post-parse args
+    (main_pc_apply_drift.py:37-38: shift_x0_for_np=True, sub_iters=None)."""
     args = build_parser().parse_args(argv)
     args.shift_x0_for_np = True
     args.sub_iters = None
+    return args
+
+
+def main(argv=None):
+    args = parse_args(argv)
     if args.drift_start < args.drift_end:
         raise ValueError("Drift start must be greater than drift end")
 

@@ -77,11 +77,21 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv=None):
+def parse_args(argv=None):
+    """Parse + apply the reference's hidden post-parse args
+    (main_pc_extract_inv.py:65-69: pc_mode='both', eta=1.,
+    numerical_fix=True, double_precision=False, test_rand_gen=False)."""
     args = build_parser().parse_args(argv)
     args.pc_mode = "both"
     args.eta = 1.0
     args.numerical_fix = True
+    args.double_precision = False
+    args.test_rand_gen = False
+    return args
+
+
+def main(argv=None):
+    args = parse_args(argv)
     if not os.path.exists(args.init_aud):
         raise FileNotFoundError(f"--init_aud: no such file: {args.init_aud}")
 
@@ -151,6 +161,15 @@ def main(argv=None):
     plot_corrs(loaded.get("corrs", []), loaded.get("in_corrs", []),
                args.n_evs, save_path=save_path)
 
+    # wandb diagnostics: per-PC eigenvalues + power-method convergence
+    # (reference: main_pc_extract_inv.py:222-231)
+    from .common import log_pc_corrs
+
+    eigdata = loaded.get("eigdata", {})
+    eigvals = [eigdata[t]["eigval"] for t in sorted(eigdata)] if eigdata else []
+    log_pc_corrs(wandb, loaded.get("corrs", []), loaded.get("in_corrs", []),
+                 eigvals, args.n_evs)
+
     # final decode of the (drift-free) trajectory end
     x_dec = pipe.vae_decode(xt)
     audio = np.asarray(pipe.decode_to_mel(x_dec))
@@ -159,6 +178,15 @@ def main(argv=None):
     write_wav(os.path.join(save_path, image_name + ".wav"), audio, sr)
     write_wav(os.path.join(save_path, "orig.wav"), orig_audio, sr)
     dump_run_summary(save_path, args, {"seed": seed})
+
+    from .common import log_edit_artifacts
+
+    log_edit_artifacts(
+        wandb, image_name, sr,
+        orig_audio=np.squeeze(orig_audio).T if orig_audio.ndim > 1 else orig_audio,
+        gen_audio=np.squeeze(audio).T if audio.ndim > 1 else audio,
+        gen_spec=np.squeeze(np.asarray(x_dec)),
+    )
     print(f"[+] extraction saved to {ckpt_path}")
     wandb.finish()
     return ckpt_path

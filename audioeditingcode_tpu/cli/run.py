@@ -99,10 +99,18 @@ def maybe_shard_pipeline(pipe, dp: int, tp: int):
     return mesh
 
 
-def main(argv=None):
+def parse_args(argv=None):
+    """Parse + apply the reference's hidden post-parse args
+    (main_run.py:64-66: eta=1., numerical_fix=True, test_rand_gen=False)."""
     args = build_parser().parse_args(argv)
     args.eta = 1.0
     args.numerical_fix = True
+    args.test_rand_gen = False
+    return args
+
+
+def main(argv=None):
+    args = parse_args(argv)
 
     if not os.path.exists(args.init_aud):
         raise FileNotFoundError(f"--init_aud: no such file: {args.init_aud}")
@@ -281,21 +289,17 @@ def main(argv=None):
     dump_run_summary(save_path, args, {"seed": seed, "duration": duration})
     print(f"[+] saved {os.path.join(save_path, name + '.wav')}")
 
-    # wandb artifacts (reference: main_run.py:226-231)
-    from .common import WandbStub
+    # wandb artifacts (reference: main_run.py:226-231 — orig/gen audio +
+    # orig_spec/gen_spec images)
+    from .common import log_edit_artifacts
 
-    if not isinstance(wandb, WandbStub):
-        import wandb as _wandb
-
-        log = {
-            "orig_audio": _wandb.Audio(np.squeeze(orig_audio).T
-                                       if orig_audio.ndim > 1 else orig_audio,
-                                       sample_rate=sr, caption="orig"),
-            "gen_audio": _wandb.Audio(np.squeeze(audio).T
-                                      if audio.ndim > 1 else audio,
-                                      sample_rate=sr, caption=name),
-        }
-        wandb.log(log)
+    log_edit_artifacts(
+        wandb, name, sr,
+        orig_audio=np.squeeze(orig_audio).T if orig_audio.ndim > 1 else orig_audio,
+        gen_audio=np.squeeze(audio).T if audio.ndim > 1 else audio,
+        orig_spec=None if stable_audio else np.squeeze(np.asarray(x0)),
+        gen_spec=None if stable_audio else np.squeeze(np.asarray(x_dec)),
+    )
     wandb.finish()
     return os.path.join(save_path, name + ".wav")
 
