@@ -69,7 +69,14 @@ def main(argv=None):
     if args.fad_gen_dir:
         import json
 
-        scorer = FADScorer(extractor, window_size_s=args.win_length or 10.0,
+        from ..evals.features import fad_extractor
+
+        # FAD binds to the laion-CLAP MUSIC checkpoint protocol (fadtk
+        # 'clap-laion-music', reference evals/fadtk_utils.py:33-59) unless an
+        # explicit --clap_model overrides it
+        fad_ext = (extractor if args.clap_model
+                   else fad_extractor(backend=args.clap_backend))
+        scorer = FADScorer(fad_ext, window_size_s=args.win_length or 10.0,
                            overlap=args.overlap)
         fads = {ref: scorer.score_dirs(args.fad_gen_dir, ref)
                 for ref in args.fad_ref_dirs}

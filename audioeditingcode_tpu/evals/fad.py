@@ -10,6 +10,14 @@ chunks, embed with the pluggable extractor, cache per-file embeddings as
     FAD = |mu_a - mu_b|^2 + Tr(S_a + S_b - 2 (S_a S_b)^{1/2})
 
 with the matrix square root via eigendecomposition (symmetric PSD path).
+
+Protocol compatibility: with the default FAD extractor
+(features.fad_extractor -> laion/larger_clap_music, the transformers port of
+fadtk's 'clap-laion-music' laion_clap music checkpoint), the pipeline is the
+reference's — 48 kHz mono, 10 s windows with a 10%-overlap integer-second
+stride (fadtk_utils.py:17 ``int(10*(1-overlap))*sr``), L2-normalized 512-d
+projected audio embeddings, per-file embedding caches — so scores are
+comparable with the paper's UnsupEval numbers.
 """
 
 from __future__ import annotations

@@ -236,6 +236,17 @@ class FlaxClapExtractor:
         )
 
 
+# fadtk's 'clap-laion-music' model = laion_clap HTSAT-base with the
+# music_audioset_epoch_15_esc_90.14.pt checkpoint; its transformers port is
+# laion/larger_clap_music. Binding FAD to this checkpoint keeps scores
+# protocol-comparable with the reference (evals/fadtk_utils.py:33-59,
+# UnsupEval.ipynb cells 7-12): 48 kHz mono, 10 s / 10%-overlap windows,
+# L2-normalized 512-d projected audio embeddings (laion_clap
+# get_audio_embedding normalizes; transformers get_audio_features output is
+# normalized by the extractor).
+FAD_CLAP_MUSIC = "laion/larger_clap_music"
+
+
 def default_extractor(model_name_or_path: Optional[str] = None,
                       backend: str = "jax"):
     """CLAP (JAX audio tower by default, torch oracle with
@@ -249,3 +260,11 @@ def default_extractor(model_name_or_path: Optional[str] = None,
         except Exception as e:  # missing weights / offline
             print(f"[evals] CLAP unavailable ({e}); using MelStageExtractor")
     return MelStageExtractor()
+
+
+def fad_extractor(model_name_or_path: Optional[str] = None,
+                  backend: str = "jax"):
+    """FAD-protocol extractor: defaults to the laion-CLAP MUSIC checkpoint
+    convention (fadtk 'clap-laion-music'); falls back like
+    :func:`default_extractor` when weights are unreachable."""
+    return default_extractor(model_name_or_path or FAD_CLAP_MUSIC, backend)

@@ -97,6 +97,44 @@ class TestFAD:
         e = np.random.RandomState(0).randn(64, 8)
         assert frechet_distance(e, e.copy()) == pytest.approx(0.0, abs=1e-6)
 
+    def test_closed_form_diagonal_gaussians(self):
+        """Exact FAD for diagonal-covariance sets: with empirical moments
+        (mu_a, diag(va)) and (mu_b, diag(vb)),
+        FAD = |mu_a-mu_b|^2 + sum(va + vb - 2 sqrt(va vb))."""
+        d = 6
+        rng = np.random.RandomState(1)
+        mu_a, mu_b = rng.randn(d), rng.randn(d)
+        sa, sb = rng.uniform(0.5, 2.0, d), rng.uniform(0.5, 2.0, d)
+        # construct sets whose EMPIRICAL mean/cov are exactly (mu, diag(s^2)):
+        # symmetric +/- unit vectors scaled by s*sqrt(d) around mu
+        eye = np.eye(d)
+        a = np.concatenate([mu_a + eye * (sa * np.sqrt(d)),
+                            mu_a - eye * (sa * np.sqrt(d))])
+        b = np.concatenate([mu_b + eye * (sb * np.sqrt(d)),
+                            mu_b - eye * (sb * np.sqrt(d))])
+        # np.cov divides by N-1: rescale to make empirical cov exact
+        n = 2 * d
+        va = sa ** 2 * n / (n - 1)
+        vb = sb ** 2 * n / (n - 1)
+        expected = (np.sum((mu_a - mu_b) ** 2)
+                    + np.sum(va + vb - 2 * np.sqrt(va * vb)))
+        got = frechet_distance(a, b, eps=0.0)
+        assert got == pytest.approx(expected, rel=1e-6)
+
+    def test_matches_scipy_sqrtm_formula(self):
+        """General (non-diagonal) case vs a direct scipy.linalg.sqrtm
+        evaluation of the same empirical-moment formula."""
+        import scipy.linalg
+
+        rng = np.random.RandomState(2)
+        a, b = rng.randn(100, 5), rng.randn(80, 5) @ rng.randn(5, 5) * 0.3 + 1.0
+        mu_a, mu_b = a.mean(0), b.mean(0)
+        ca, cb = np.cov(a, rowvar=False), np.cov(b, rowvar=False)
+        covmean = scipy.linalg.sqrtm(ca @ cb).real
+        expected = ((mu_a - mu_b) @ (mu_a - mu_b)
+                    + np.trace(ca + cb - 2 * covmean))
+        assert frechet_distance(a, b, eps=0.0) == pytest.approx(expected, rel=1e-5)
+
     def test_shifted_sets_positive(self):
         rng = np.random.RandomState(0)
         a = rng.randn(128, 8)
@@ -219,6 +257,39 @@ class TestClapOracle:
         v = clap_ext.embed_audio(tone(440, 3.0), 16000)
         assert v.shape == (16,)
         assert np.isclose(np.linalg.norm(v), 1.0, atol=1e-4)
+
+    def test_fad_embedding_layout_matches_fadtk(self, clap_ext, tmp_path):
+        """fadtk protocol cross-check on the transformers-CLAP tower: a file
+        embeds to (n_windows, projection_dim) L2-normalized rows — one row
+        per 10 s window with the reference's int-second stride
+        (fadtk_utils.py:17) — and the per-file cache is reused."""
+        from scipy.io import wavfile
+
+        p = tmp_path / "a.wav"
+        wavfile.write(str(p), 16000,
+                      (tone(440, 21.0)[0] * 32767).astype(np.int16))
+        scorer = FADScorer(clap_ext)  # default 10 s / 10% overlap
+        embs = scorer.embed_file(str(p))
+        # 21 s / 9 s stride -> windows at 0, 9, 18 s; the 3 s tail window
+        # passes the >=1 s cutoff -> 3 rows
+        assert embs.shape == (3, clap_ext.embed_dim)
+        np.testing.assert_allclose(np.linalg.norm(embs, axis=1), 1.0, atol=1e-4)
+        assert os.path.exists(str(p) + ".emb.npy")
+
+    def test_fad_default_binds_music_checkpoint(self, monkeypatch):
+        """features.fad_extractor defaults to fadtk's clap-laion-music
+        convention (transformers id laion/larger_clap_music)."""
+        from audioeditingcode_tpu.evals import features
+
+        seen = {}
+
+        def fake_default(model_name_or_path=None, backend="jax"):
+            seen["id"] = model_name_or_path
+            return features.MelStageExtractor()
+
+        monkeypatch.setattr(features, "default_extractor", fake_default)
+        features.fad_extractor()
+        assert seen["id"] == "laion/larger_clap_music"
 
     def test_stages_for_lpaps(self, clap_ext):
         stages = clap_ext.stages(tone(440, 3.0), 16000)
