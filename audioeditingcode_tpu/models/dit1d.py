@@ -148,11 +148,9 @@ class GQAttention(nn.Module):
             q = _apply_partial_rotary(q, cos, sin)
             k = _apply_partial_rotary(k, cos, sin)
 
-        if self.kv_heads != self.heads:
-            rep = self.heads // self.kv_heads
-            k = jnp.repeat(k, rep, axis=2)
-            v = jnp.repeat(v, rep, axis=2)
-
+        # grouped k/v heads pass through unexpanded — both the Pallas kernel
+        # (kv-group index map) and jax.nn.dot_product_attention handle GQA
+        # natively, so shared K/V never hits HBM heads/kv_heads times
         bias = None
         if context_bias is not None:
             bias = context_bias[:, None, None, :].astype(jnp.float32)

@@ -121,16 +121,25 @@ def _blocked_attention(q, k, v, interpret: bool = False):
 
     Sequences that are not a sublane multiple (e.g. the DiT's 1024+1 global
     token) are zero-padded to %8; padded key columns are masked inside the
-    kernel and padded query rows sliced off here."""
+    kernel and padded query rows sliced off here.
+
+    Grouped-query attention: k/v may carry fewer heads than q (H_kv | H) —
+    the grid index map points each query head at its kv group, so shared
+    K/V is never materialized H/H_kv times in HBM."""
     B, S0, H, D = q.shape
+    H_kv = k.shape[2]
+    rep = H // H_kv
     S = -(-S0 // 8) * 8
     if S != S0:
         pad = ((0, 0), (0, S - S0), (0, 0), (0, 0))
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
     scale = 1.0 / (D ** 0.5)
     qt = q.transpose(0, 2, 1, 3).reshape(B * H, S, D)
-    kt = k.transpose(0, 2, 1, 3).reshape(B * H, S, D)
-    vt = v.transpose(0, 2, 1, 3).reshape(B * H, S, D)
+    kt = k.transpose(0, 2, 1, 3).reshape(B * H_kv, S, D)
+    vt = v.transpose(0, 2, 1, 3).reshape(B * H_kv, S, D)
+
+    def kv_index(i, j):
+        return ((i // H) * H_kv + (i % H) // rep, 0, 0)
 
     bq = _block_q(S, _kv_vmem_bytes(S, D, q.dtype.itemsize))
     grid = (B * H, S // bq)
@@ -141,17 +150,16 @@ def _blocked_attention(q, k, v, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, D), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, D), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, D), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, D), kv_index, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * S * S * D,
-            bytes_accessed=(3 * B * H * S * D + B * H * S * D) * q.dtype.itemsize,
+            bytes_accessed=(B * H * S * D + 2 * B * H_kv * S * D
+                            + B * H * S * D) * q.dtype.itemsize,
             transcendentals=B * H * S * S,
         ),
     )(qt, kt, vt)
@@ -202,6 +210,7 @@ def fused_attention(
         and Q == K
         and Q >= _MIN_SEQ_FOR_KERNEL
         and D <= 256
+        and H % k.shape[2] == 0
         and _kv_vmem_bytes(-(-Q // 8) * 8, D, q.dtype.itemsize)
         <= _MAX_KV_VMEM_BYTES
     )
@@ -215,7 +224,7 @@ def fused_attention(
 
         if os.environ.get("PALLAS_INTERPRET_ATTENTION", "0") == "1":
             return _batched_blocked_attention(True)(q, k, v)
-    if bias is None and Q == K and Q >= 8192:
+    if bias is None and Q == K and Q >= 8192 and H == k.shape[2]:
         # kernel-ineligible long self-attention: dense XLA would put the
         # full (S, S) score matrix in HBM (24 GB at S=16k batch 24)
         return _chunked_attention(q, k, v)

@@ -136,3 +136,17 @@ def test_chunked_attention_matches_dense():
     out = _chunked_attention(q, k, v, chunk=256)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_gqa_kv_group_indexing():
+    """k/v with fewer heads than q: the kernel's kv-group index map must
+    match an explicit head-repeat reference (the DiT's 24q/12kv layout)."""
+    rngs = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(rngs[0], (2, 1025, 4, 64))
+    k = jax.random.normal(rngs[1], (2, 1025, 2, 64))
+    v = jax.random.normal(rngs[2], (2, 1025, 2, 64))
+    ref = jax.nn.dot_product_attention(
+        q, jnp.repeat(k, 2, axis=2), jnp.repeat(v, 2, axis=2))
+    got = _blocked_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
