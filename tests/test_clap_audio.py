@@ -268,3 +268,80 @@ def test_text_tower_parity():
     pooled = clap_text_forward(params, ids.numpy(), mask.numpy(), tcfg)
     emb = np.asarray(clap_text_embed(params, pooled))
     np.testing.assert_allclose(emb, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_full_geometry_synthetic_checkpoint_parity():
+    """Full-size de-risk for the real eval checkpoint path (never runnable
+    online here): params_from_torch_clap + forward parity on the DEFAULT
+    transformers ClapAudioConfig — the real HTSAT-base geometry
+    (depths [2,2,6,2], heads [4,8,16,32], hidden 768, 64 mels) that the
+    laion music/speech checkpoints use (reference binding:
+    evals/pretrained_networks.py:12-30). Random full-size weights stand in
+    for the checkpoint; ~1 min on CPU."""
+    from transformers import ClapAudioModel
+    from transformers.models.clap.configuration_clap import ClapAudioConfig
+    from transformers.models.clap.modeling_clap import ClapProjectionLayer
+
+    torch.manual_seed(7)
+    cfg_t = ClapAudioConfig()  # the real checkpoint geometry
+    model = ClapAudioModel(cfg_t).eval()
+    bn = model.audio_encoder.batch_norm
+    bn.running_mean.copy_(torch.randn(bn.running_mean.shape) * 0.1)
+    bn.running_var.copy_(torch.rand(bn.running_var.shape) + 0.5)
+    proj = ClapProjectionLayer(cfg_t).eval()
+
+    params, cfg = params_from_torch_clap(_Wrapper(model, proj))
+
+    x = torch.randn(1, 1, 1001, 64)  # one 10 s / 48 kHz processor frame
+    with torch.no_grad():
+        out = model(x, output_hidden_states=True)
+        ref_pooled = out.pooler_output.numpy()
+        ref_emb = proj(out.pooler_output).numpy()
+
+    stages, pooled = clap_audio_forward(params, x.numpy(), cfg)
+    assert len(stages) == len(out.hidden_states)
+    np.testing.assert_allclose(np.asarray(pooled), ref_pooled,
+                               rtol=5e-4, atol=5e-4)
+    emb = clap_audio_embed(params, pooled)
+    np.testing.assert_allclose(np.asarray(emb), ref_emb, rtol=5e-4, atol=5e-4)
+
+
+def test_full_geometry_text_tower_parity():
+    """Text-tower counterpart of the full-geometry audio test: the default
+    ClapTextConfig is the real RoBERTa-base geometry of the laion
+    checkpoints; random full-size weights through text_params_from_torch_clap
+    must match torch get_text_features. ~40 s on CPU."""
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    from transformers import ClapConfig, ClapModel
+    from transformers.models.clap.configuration_clap import (
+        ClapAudioConfig,
+        ClapTextConfig,
+    )
+
+    from audioeditingcode_tpu.models.clap_text import (
+        clap_text_embed,
+        clap_text_forward,
+        text_params_from_torch_clap,
+    )
+
+    # tiny audio tower (not under test) + DEFAULT full-size text tower
+    ac = ClapAudioConfig(hidden_size=32, depths=[1, 1],
+                         num_attention_heads=[2, 2], num_mel_bins=64,
+                         spec_size=256, patch_embeds_hidden_size=16,
+                         window_size=4)
+    cfg = ClapConfig(text_config=ClapTextConfig().to_dict(),
+                     audio_config=ac.to_dict(), projection_dim=512)
+    torch.manual_seed(9)
+    model = ClapModel(cfg).eval()
+    params, tcfg = text_params_from_torch_clap(model)
+
+    ids = torch.tensor([[0, 50, 900, 1200, 2, 1, 1, 1],
+                        [0, 70, 31, 42, 81, 110, 65, 2]])
+    mask = (ids != 1).long()
+    with torch.no_grad():
+        ref = model.get_text_features(input_ids=ids, attention_mask=mask).numpy()
+    pooled = clap_text_forward(params, ids.numpy(), mask.numpy(), tcfg)
+    emb = np.asarray(clap_text_embed(params, pooled))
+    np.testing.assert_allclose(emb, ref, rtol=5e-4, atol=5e-4)

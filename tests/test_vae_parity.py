@@ -27,6 +27,15 @@ CFG = AutoencoderKLConfig(
     scaling_factor=0.5,
 )
 
+# the AudioLDM checkpoint VAE topology at tiny width: 3 levels,
+# layers_per_block=2, 1 mel channel, 8 latent channels
+# (models/configs.py _AUDIOLDM_VAE mirrors diffusers vae/config.json)
+CFG3 = AutoencoderKLConfig(
+    in_channels=1, out_channels=1, latent_channels=8,
+    block_out_channels=(8, 16, 32), layers_per_block=2, norm_num_groups=4,
+    scaling_factor=0.9,
+)
+
 
 class TResnet(tnn.Module):
     def __init__(self, cin, cout, groups):
@@ -180,23 +189,26 @@ class TVAE(tnn.Module):
         return self.decoder(self.post_quant_conv(z))
 
 
-@pytest.fixture(scope="module")
-def converted():
+@pytest.fixture(scope="module", params=["lvl2", "lvl3"])
+def converted(request):
+    cfg = CFG if request.param == "lvl2" else CFG3
     torch.manual_seed(0)
-    tvae = TVAE(CFG).eval()
-    fvae = AutoencoderKL(CFG)
-    x = np.random.default_rng(0).standard_normal((1, 8, 8, 3)).astype(np.float32)
+    tvae = TVAE(cfg).eval()
+    fvae = AutoencoderKL(cfg)
+    x = np.random.default_rng(0).standard_normal(
+        (1, 8, 8, cfg.in_channels)).astype(np.float32)
     params = fvae.init(jax.random.PRNGKey(0), jnp.asarray(x))
     sd = {k: v.detach().numpy() for k, v in tvae.state_dict().items()}
     params = {"params": torch_to_flax_params(sd, params["params"])}
-    return tvae, fvae, params
+    return tvae, fvae, params, cfg
 
 
 def test_encode_parity(converted):
-    tvae, fvae, params = converted
-    x = np.random.default_rng(1).standard_normal((2, 3, 16, 16)).astype(np.float32)
+    tvae, fvae, params, cfg = converted
+    x = np.random.default_rng(1).standard_normal(
+        (2, cfg.in_channels, 16, 16)).astype(np.float32)
     with torch.no_grad():
-        ref = tvae.encode_mode(torch.from_numpy(x)).numpy() * CFG.scaling_factor
+        ref = tvae.encode_mode(torch.from_numpy(x)).numpy() * cfg.scaling_factor
     ours = np.asarray(fvae.apply(
         params, jnp.asarray(x.transpose(0, 2, 3, 1)), method=fvae.encode
     )).transpose(0, 3, 1, 2)
@@ -204,10 +216,11 @@ def test_encode_parity(converted):
 
 
 def test_decode_parity(converted):
-    tvae, fvae, params = converted
-    z = np.random.default_rng(2).standard_normal((2, 4, 8, 8)).astype(np.float32)
+    tvae, fvae, params, cfg = converted
+    z = np.random.default_rng(2).standard_normal(
+        (2, cfg.latent_channels, 8, 8)).astype(np.float32)
     with torch.no_grad():
-        ref = tvae.decode(torch.from_numpy(z / CFG.scaling_factor)).numpy()
+        ref = tvae.decode(torch.from_numpy(z / cfg.scaling_factor)).numpy()
     ours = np.asarray(fvae.apply(
         params, jnp.asarray(z.transpose(0, 2, 3, 1)), method=fvae.decode
     )).transpose(0, 3, 1, 2)
@@ -216,10 +229,11 @@ def test_decode_parity(converted):
 
 def test_odd_size_downsample_parity(converted):
     """Asymmetric (0,1,0,1) padding matters for odd inputs — check parity."""
-    tvae, fvae, params = converted
-    x = np.random.default_rng(3).standard_normal((1, 3, 10, 6)).astype(np.float32)
+    tvae, fvae, params, cfg = converted
+    x = np.random.default_rng(3).standard_normal(
+        (1, cfg.in_channels, 12, 8)).astype(np.float32)
     with torch.no_grad():
-        ref = tvae.encode_mode(torch.from_numpy(x)).numpy() * CFG.scaling_factor
+        ref = tvae.encode_mode(torch.from_numpy(x)).numpy() * cfg.scaling_factor
     ours = np.asarray(fvae.apply(
         params, jnp.asarray(x.transpose(0, 2, 3, 1)), method=fvae.encode
     )).transpose(0, 3, 1, 2)
