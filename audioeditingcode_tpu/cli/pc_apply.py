@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..editing.pc_drift import apply_drift, forward_directional
-from ..editing.pcdata import load_extraction
+from ..editing.pcdata import load_extraction, step_timestep_key
 from ..models.registry import load_model
 from ..models.text_encoders import repeat_cond
 from ..utils.audio_io import write_wav
@@ -116,6 +116,8 @@ def main(argv=None):
     x_dec = jnp.concatenate(
         [pipe.vae_decode(xt[i: i + 1]) for i in range(xt.shape[0])], axis=0
     )
+    # rows: (T,) mel-family mono or (C, T) stable-audio stereo — both are
+    # write_wav-compatible per row
     audio = np.asarray(pipe.decode_to_mel(x_dec))
 
     def out_name(prefix):
@@ -134,16 +136,18 @@ def main(argv=None):
     outputs = []
     if args.combine_evs:
         name = out_name(f'pcs{"".join(str(x) for x in args.evs)}')
-        write_wav(os.path.join(drifts_path, name), audio[0:1], pipe.get_sr())
+        write_wav(os.path.join(drifts_path, name), audio[0], pipe.get_sr())
         outputs.append(os.path.join(drifts_path, name))
     else:
         for ev_idx, ev_num in enumerate(args.evs):
             name = out_name(f"pc{ev_num}")
             write_wav(os.path.join(drifts_path, name),
-                      audio[min(ev_idx, audio.shape[0] - 1)][None], pipe.get_sr())
+                      audio[min(ev_idx, audio.shape[0] - 1)], pipe.get_sr())
             outputs.append(os.path.join(drifts_path, name))
 
-    save_spectrogram_png(os.path.join(drifts_path, "drift_spec.png"), np.asarray(x_dec))
+    if x_dec.ndim == 4:  # mel-family spectrograms only
+        save_spectrogram_png(os.path.join(drifts_path, "drift_spec.png"),
+                             np.asarray(x_dec))
     dump_run_summary(drifts_path, args, {"seed": seed})
     for o in outputs:
         print(f"[+] saved {o}")
@@ -178,6 +182,13 @@ def run_pc_application(args, pipe, ex_args, eigdata, latents, xts, cfg_tar, eta)
         patch = getattr(ex_args, "patch", None)
         if patch is not None and len(patch) == 4:  # image: top/bottom/left/right
             m[:, :, patch[0]: patch[1], patch[2]: patch[3]] = 1
+        elif patch is not None and m.ndim == 3:  # stable-audio 1-D latent
+            m[:, :, patch[0]: patch[1]] = 1
+            fl = args.fade_length
+            if fl > 0:
+                ramp = np.linspace(0, 1, fl, dtype=np.float32)[None, None, :]
+                m[:, :, patch[0] - fl: patch[0]] = ramp
+                m[:, :, patch[1]: patch[1] + fl] = ramp[:, :, ::-1]
         elif patch is not None:  # audio: time-axis window with optional fade
             m[:, :, patch[0]: patch[1], :] = 1
             fl = args.fade_length
@@ -191,7 +202,7 @@ def run_pc_application(args, pipe, ex_args, eigdata, latents, xts, cfg_tar, eta)
 
     drift_start_it = max(S - args.drift_start, 0)
     drift_end_it = S - args.drift_end
-    timesteps = np.asarray(pipe.sched.timesteps)
+    timesteps = np.asarray(getattr(pipe.sched, "sched", pipe.sched).timesteps)
 
     n_out = 1 if args.combine_evs else len(args.evs)
     uncond_n = repeat_cond(uncond, n_out)
@@ -201,25 +212,31 @@ def run_pc_application(args, pipe, ex_args, eigdata, latents, xts, cfg_tar, eta)
     pxt_all = xts if fix else jnp.zeros_like(latents)
 
     # ---- phase A: batch-1 trajectory up to the window (one scan) --------
+    from ..editing.solvers import as_solver
+
     a_end = min(drift_start_it, S)
 
     @jax.jit
     def traj_scan(params, xt, lats):
         p = pipe.bind(params)
         pair = p.make_eps_pair(uncond, text)
+        st0 = as_solver(p.sched, eta=eta).init_state(xt)
 
-        def body(xt, inp):
+        def body(carry, inp):
+            xt, st = carry
             k, latent = inp
-            xt, _ = forward_directional(p.sched, pair, xt, k, latent,
-                                        cfg_tar, eta=eta)
-            return xt, None
+            xt, _, st = forward_directional(p.sched, pair, xt, k, latent,
+                                            cfg_tar, eta=eta, state=st,
+                                            return_state=True)
+            return (xt, st), None
 
-        xt, _ = jax.lax.scan(body, xt, (jnp.arange(a_end), lats))
-        return xt
+        (xt, st), _ = jax.lax.scan(body, (xt, st0), (jnp.arange(a_end), lats))
+        return xt, st
 
     xt = latents[0]
+    state = as_solver(pipe.sched, eta=eta).init_state(xt)
     if a_end > 0:
-        xt = traj_scan(model_params, xt, latents[1: a_end + 1])
+        xt, state = traj_scan(model_params, xt, latents[1: a_end + 1])
     if a_end >= S:
         return xt
 
@@ -234,9 +251,9 @@ def run_pc_application(args, pipe, ex_args, eigdata, latents, xts, cfg_tar, eta)
     gate = np.zeros((L,), bool)
     for it in range(a_end, S):
         if drift_start_it <= it < drift_end_it:
-            t_val = int(timesteps[it])
+            t_val = step_timestep_key(timesteps, it)
             use_t = (t_val if args.use_specific_ts_pc is None
-                     else int(timesteps[S - args.use_specific_ts_pc]))
+                     else step_timestep_key(timesteps, S - args.use_specific_ts_pc))
             vecs[it - a_end] = np.asarray(eigdata[use_t]["eigvec"]).reshape(
                 (n_ev,) + lat_shape)
             vals[it - a_end] = (np.asarray(evals_override[t_val])
@@ -248,47 +265,69 @@ def run_pc_application(args, pipe, ex_args, eigdata, latents, xts, cfg_tar, eta)
     # front reproduces the reference's batch-1 first window step exactly
     if xt.shape[0] == 1 and n_out > 1:
         xt = jnp.repeat(xt, n_out, axis=0)
+    # widen multistep history to the output batch (no-op for DDIM's ())
+    state = jax.tree.map(
+        lambda a: jnp.repeat(a, n_out, axis=0)
+        if getattr(a, "ndim", 0) > 0 and a.shape[0] == 1 and n_out > 1 else a,
+        state)
 
     sel = None if args.combine_evs is False else [e - 1 for e in args.evs]
 
     @jax.jit
-    def drift_scan(params, xt, lats, pxts, vecs, vals, gate):
+    def drift_scan(params, xt, st, lats, pxts, vecs, vals, gate):
         p = pipe.bind(params)
         pair = p.make_eps_pair(uncond_n, text_n)
 
-        def body(xt, inp):
+        def body(carry, inp):
+            xt, st = carry
             k, latent, pxt, vec, val, g = inp
             lat_b = jnp.repeat(latent, n_out, axis=0) if n_out > 1 else latent
-            xt_m1, x0_pred = forward_directional(p.sched, pair, xt, k, lat_b,
-                                                 cfg_tar, eta=eta)
+            xt_m1, x0_pred, st_fwd = forward_directional(
+                p.sched, pair, xt, k, lat_b, cfg_tar, eta=eta,
+                state=st, return_state=True)
             if args.combine_evs:
-                drift = apply_drift(
+                drift, st_drift = apply_drift(
                     p.sched, k, xt_m1, x0_pred,
                     vec[jnp.asarray(sel)], val[jnp.asarray(sel)], latent,
                     eta=eta, amount=args.amount,
                     use_shifted_x0_for_noisepred=args.shift_x0_for_np,
+                    xt=xt, state=st, return_state=True,
                 )
             else:
-                outs = []
+                outs, sts = [], []
                 for ev_idx, ev_num in enumerate(args.evs):
-                    outs.append(apply_drift(
+                    o, s_ev = apply_drift(
                         p.sched, k,
                         xt_m1[ev_idx: ev_idx + 1], x0_pred[ev_idx: ev_idx + 1],
                         vec[ev_num - 1: ev_num], val[ev_num - 1: ev_num],
                         latent, eta=eta, amount=args.amount,
                         use_shifted_x0_for_noisepred=args.shift_x0_for_np,
-                    ))
+                        xt=xt[ev_idx: ev_idx + 1],
+                        state=jax.tree.map(
+                            lambda a: a[ev_idx: ev_idx + 1]
+                            if getattr(a, "ndim", 0) > 0 else a, st),
+                        return_state=True,
+                    )
+                    outs.append(o)
+                    sts.append(s_ev)
                 drift = jnp.concatenate(outs, axis=0)
+                st_drift = jax.tree.map(
+                    lambda *a: jnp.concatenate(a, axis=0)
+                    if getattr(a[0], "ndim", 0) > 0 else a[0], *sts)
             if fix:
                 drift = mask * drift + (1 - mask) * (
                     args.fix_alpha * pxt + (1 - args.fix_alpha) * drift)
-            return jnp.where(g, drift, xt_m1), None
+            xt_new = jnp.where(g, drift, xt_m1)
+            st_new = jax.tree.map(
+                lambda a, b: jnp.where(g, a, b), st_drift, st_fwd)
+            return (xt_new, st_new), None
 
         ks = jnp.arange(a_end, S)
-        xt, _ = jax.lax.scan(body, xt, (ks, lats, pxts, vecs, vals, gate))
+        (xt, _), _ = jax.lax.scan(
+            body, (xt, st), (ks, lats, pxts, vecs, vals, gate))
         return xt
 
-    return drift_scan(model_params, xt, latents[a_end + 1: S + 1],
+    return drift_scan(model_params, xt, state, latents[a_end + 1: S + 1],
                       pxt_all[a_end + 1: S + 1], jnp.asarray(vecs),
                       jnp.asarray(vals), jnp.asarray(gate))
 

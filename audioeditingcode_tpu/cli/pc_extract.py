@@ -26,7 +26,7 @@ from ..editing.pc_drift import (
     get_eigenvectors,
     snapshot_iterations,
 )
-from ..editing.pcdata import save_extraction
+from ..editing.pcdata import save_extraction, step_timestep_key
 from ..models.registry import load_model, resolve_spec
 from ..models.text_encoders import repeat_cond
 from ..utils.audio_io import load_audio, write_wav
@@ -120,12 +120,7 @@ def main(argv=None):
 
     mesh = maybe_shard_pipeline(pipe, getattr(args, "dp", 1), getattr(args, "tp", 1))
     args._mesh = mesh
-    if spec.family == "stable-audio":
-        raise NotImplementedError(
-            "The Stable Audio family is supported by main_run.py (DDPM-inversion "
-            "editing); the SDEdit/PC tools require a DDIM-scheduler model, as in "
-            "the reference."
-        )
+    stable_audio = spec.family == "stable-audio"
     S = args.num_diffusion_steps
 
     if args.drift_start is None:
@@ -136,9 +131,18 @@ def main(argv=None):
     drift_end_it = S - args.drift_end
 
     x0, sr, duration = load_audio(args.init_aud, pipe.mel_config,
-                                  stft=True, model_sr=pipe.get_sr())
+                                  stft=not stable_audio, model_sr=pipe.get_sr())
     x0 = jnp.asarray(x0)
-    w0 = pipe.vae_encode(x0)
+    if stable_audio:
+        # beyond the reference (its forward_directional is DDIM-bound,
+        # pc_drift.py:29-93): the cosine DPM solver drives the directional
+        # steps through the same solver seam
+        max_s = pipe.audio_vae_length / pipe.sample_rate
+        pipe.setup_duration(0.0, min(duration, max_s))
+        rng, enc_rng = jax.random.split(rng)
+        w0 = pipe.vae_encode(x0, rng=enc_rng)
+    else:
+        w0 = pipe.vae_encode(x0)
 
     save_path = os.path.join(
         args.results_path,
@@ -174,7 +178,13 @@ def main(argv=None):
     x_dec = pipe.vae_decode(xt)
     audio = np.asarray(pipe.decode_to_mel(x_dec))
     orig_audio = np.asarray(pipe.decode_to_mel(x0))
-    save_spectrogram_png(os.path.join(save_path, image_name + ".png"), np.asarray(x_dec))
+    if audio.ndim == 3:  # stable-audio waveform (B, C, T)
+        audio = audio[0]
+    if orig_audio.ndim == 3:
+        orig_audio = orig_audio[0]
+    if not stable_audio:
+        save_spectrogram_png(os.path.join(save_path, image_name + ".png"),
+                             np.asarray(x_dec))
     write_wav(os.path.join(save_path, image_name + ".wav"), audio, sr)
     write_wav(os.path.join(save_path, "orig.wav"), orig_audio, sr)
     dump_run_summary(save_path, args, {"seed": seed})
@@ -185,7 +195,7 @@ def main(argv=None):
         wandb, image_name, sr,
         orig_audio=np.squeeze(orig_audio).T if orig_audio.ndim > 1 else orig_audio,
         gen_audio=np.squeeze(audio).T if audio.ndim > 1 else audio,
-        gen_spec=np.squeeze(np.asarray(x_dec)),
+        gen_spec=None if stable_audio else np.squeeze(np.asarray(x_dec)),
     )
     print(f"[+] extraction saved to {ckpt_path}")
     wandb.finish()
@@ -228,11 +238,13 @@ def run_pc_extraction(args, pipe, w0, rng, cfg_tar, save_path, image_name, seed)
     # latents[0] = x_T; latents[it+1] = z used at iteration it (:142-143)
     latents = jnp.concatenate([wts[S: S + 1], jnp.flip(zs, axis=0)], axis=0)
 
-    mask = np.zeros(w0.shape, dtype=np.float32)  # (1, C, H, W)
+    mask = np.zeros(w0.shape, dtype=np.float32)  # (1, C, H, W) | (1, C, L)
     if args.patch is not None:
         if len(args.patch) == 4:  # image CLI: (top, bottom, left, right)
             mask[:, :, args.patch[0]: args.patch[1],
                  args.patch[2]: args.patch[3]] = 1
+        elif mask.ndim == 3:  # stable-audio 1-D latent: time-axis patch
+            mask[:, :, args.patch[0]: args.patch[1]] = 1
         else:  # audio CLI: time-axis patch (reference main_pc_extract_inv)
             mask[:, :, args.patch[0]: args.patch[1], :] = 1
     else:
@@ -247,21 +259,27 @@ def run_pc_extraction(args, pipe, w0, rng, cfg_tar, save_path, image_name, seed)
     @jax.jit
     def traj_scan(params, x_start, lats):
         """Full deterministic trajectory in ONE scan (2 UNet fwd per step),
-        returning every xt and x0_pred — the power iterations only need these
-        precomputed states (reference main_pc_extract_inv.py:199-243 runs
-        forward_directional per step in Python)."""
+        returning every xt, x0_pred and the INCOMING multistep solver state
+        per step — the power iterations only need these precomputed states
+        (reference main_pc_extract_inv.py:199-243 runs forward_directional
+        per step in Python; DDIM-family states are empty pytrees)."""
         p = pipe.bind(params)
         eps_pair = p.make_eps_pair(uncond, text)
+        from ..editing.solvers import as_solver
 
-        def step(xt, inp):
+        st0 = as_solver(p.sched, eta=args.eta).init_state(x_start)
+
+        def step(carry, inp):
+            xt, st = carry
             k, lat = inp
-            xt_m1, x0_pred = forward_directional(
-                p.sched, eps_pair, xt, k, lat, cfg_tar, eta=args.eta)
-            return xt_m1, (xt_m1, x0_pred)
+            xt_m1, x0_pred, st_new = forward_directional(
+                p.sched, eps_pair, xt, k, lat, cfg_tar, eta=args.eta,
+                state=st, return_state=True)
+            return (xt_m1, st_new), (xt_m1, x0_pred, st)
 
-        _, (xts_seq, x0_preds) = jax.lax.scan(
-            step, x_start, (jnp.arange(S), lats))
-        return xts_seq, x0_preds
+        _, (xts_seq, x0_preds, states_seq) = jax.lax.scan(
+            step, (x_start, st0), (jnp.arange(S), lats))
+        return xts_seq, x0_preds, states_seq
 
     mesh = getattr(args, "_mesh", None)
 
@@ -273,7 +291,7 @@ def run_pc_extraction(args, pipe, w0, rng, cfg_tar, save_path, image_name, seed)
         sh = NamedSharding(mesh, P(axis_name, *([None] * (x.ndim - 1))))
         return jax.lax.with_sharding_constraint(x, sh)
 
-    def eig_one(params, xt, k, latent, x0_pred, r, dp_on_ev: bool):
+    def eig_one(params, xt, k, latent, x0_pred, r, st, dp_on_ev: bool):
         """Power iteration for ONE timestep with the n_ev batch fused into
         the UNet batch dimension."""
         p = pipe.bind(params)
@@ -286,25 +304,25 @@ def run_pc_extraction(args, pipe, w0, rng, cfg_tar, save_path, image_name, seed)
         res = get_eigenvectors(
             p.sched, eps_pair_ev, xt_ev, lat_ev, mask_j, k, x0_ev, r,
             mode=PCStreamChoice.BOTH, const=args.const, cfg_tar=cfg_tar,
-            iters=args.iters, eta=args.eta, n_ev=n_ev,
+            iters=args.iters, eta=args.eta, n_ev=n_ev, state=st,
         )
         # drop the static snapshot_iters tuple: vmap maps array leaves only
         return res._asdict() | {"snapshot_iters": None}
 
     @jax.jit
-    def eig_step(params, xt, k, latent, x0_pred, r):
-        return eig_one(params, xt, k, latent, x0_pred, r, dp_on_ev=True)
+    def eig_step(params, xt, k, latent, x0_pred, r, st):
+        return eig_one(params, xt, k, latent, x0_pred, r, st, dp_on_ev=True)
 
     @jax.jit
-    def eig_chunk(params, xt_c, k_c, lat_c, x0_c, r_c):
+    def eig_chunk(params, xt_c, k_c, lat_c, x0_c, r_c, st_c):
         """ts_chunk timesteps' power iterations as one batched program —
         independent given the trajectory, so the chunk axis vmaps and shards
         over the 'dp' mesh axis (near-linear multi-chip scaling at n_ev=1)."""
         xt_c, lat_c, x0_c = map(_shard, (xt_c, lat_c, x0_c))
         return jax.vmap(
-            lambda xt, k, lat, x0p, r: eig_one(params, xt, k, lat, x0p, r,
-                                               dp_on_ev=False)
-        )(xt_c, k_c, lat_c, x0_c, r_c)
+            lambda xt, k, lat, x0p, r, st: eig_one(params, xt, k, lat, x0p, r,
+                                                   st, dp_on_ev=False)
+        )(xt_c, k_c, lat_c, x0_c, r_c, st_c)
 
     ckpt_path = os.path.join(save_path, image_name + ".npz")
 
@@ -314,7 +332,11 @@ def run_pc_extraction(args, pipe, w0, rng, cfg_tar, save_path, image_name, seed)
     eig_vecs, eig_vals, interm_vecs, interm_vals, norm_factors = [], [], [], [], []
     corrs, in_corrs, in_norms = [], [], []
     snaps = snapshot_iterations(args.iters)
-    timesteps = np.asarray(pipe.sched.timesteps)
+    from ..editing.solvers import as_solver
+
+    host_solver = as_solver(pipe.sched, eta=args.eta)
+    sched_obj = getattr(pipe.sched, "sched", pipe.sched)
+    timesteps = np.asarray(sched_obj.timesteps)
 
     def _save():
         save_extraction(
@@ -334,7 +356,7 @@ def run_pc_extraction(args, pipe, w0, rng, cfg_tar, save_path, image_name, seed)
         )
 
     # Phase A — the whole deterministic trajectory in one compiled scan.
-    xts_seq, x0_preds = traj_scan(model_params, latents[0], latents[1:])
+    xts_seq, x0_preds, states_seq = traj_scan(model_params, latents[0], latents[1:])
     xts_np = np.asarray(xts_seq)
     x0_np = np.asarray(x0_preds)
     xts_list = [np.asarray(latents[0])] + list(xts_np)
@@ -354,6 +376,9 @@ def run_pc_extraction(args, pipe, w0, rng, cfg_tar, save_path, image_name, seed)
     def xt_at(it):  # state BEFORE step it
         return xts_list[it]
 
+    def state_at(it):  # incoming multistep solver state at step it
+        return jax.tree.map(lambda a: a[it], states_seq)
+
     def record(it, vecs, res_np):
         nonlocal prev_pc
         corr = None
@@ -367,13 +392,13 @@ def run_pc_extraction(args, pipe, w0, rng, cfg_tar, save_path, image_name, seed)
                     print(f"swapped eigvec {ev + 1}!")
             corrs.append(corr)
         prev_pc = vecs
-        eig_ts.append(int(timesteps[it]))
+        eig_ts.append(step_timestep_key(timesteps, it))
         eig_its.append(it)
         eig_vecs.append(vecs)
         eig_vals.append(res_np["eigvals"])
         interm_vecs.append(res_np["interm_eigvecs"])
         interm_vals.append(res_np["interm_eigvals"])
-        norm_factors.append(float(np.sqrt(pipe.sched.step_alpha_prod[it])))
+        norm_factors.append(float(host_solver.x0_shift_coeff(it)))
         in_corrs.append(res_np["in_corrs"])
         in_norms.append(res_np["in_norms"])
 
@@ -382,7 +407,8 @@ def run_pc_extraction(args, pipe, w0, rng, cfg_tar, save_path, image_name, seed)
         if ts_chunk == 1:
             it = chunk[0]
             res = eig_step(model_params, xt_at(it), jnp.asarray(it),
-                           latents[it + 1], x0_np[it], keys[start])
+                           latents[it + 1], x0_np[it], keys[start],
+                           state_at(it))
             res_np = {n: np.asarray(v) for n, v in res.items()
                       if v is not None}
             record(it, res_np.pop("eigvecs"), res_np)
@@ -396,7 +422,8 @@ def run_pc_extraction(args, pipe, w0, rng, cfg_tar, save_path, image_name, seed)
             r_c = jnp.stack(
                 [keys[start + min(j, len(chunk) - 1)]
                  for j in range(ts_chunk)])
-            res = eig_chunk(model_params, xt_c, k_c, lat_c, x0_c, r_c)
+            st_c = jax.tree.map(lambda a: a[jnp.asarray(pad)], states_seq)
+            res = eig_chunk(model_params, xt_c, k_c, lat_c, x0_c, r_c, st_c)
             res_host = {n: np.asarray(v) for n, v in res.items()
                         if v is not None}
             for j, it in enumerate(chunk):

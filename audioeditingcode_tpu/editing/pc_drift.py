@@ -25,7 +25,8 @@ from typing import Callable, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..schedulers import DiffusionSchedule, ddim_step, get_sigma
+from ..schedulers import get_sigma
+from .solvers import as_solver
 
 EpsPairFn = Callable[[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray],
                      Tuple[jnp.ndarray, jnp.ndarray]]
@@ -37,8 +38,17 @@ class PCStreamChoice(enum.Enum):
     UNCOND = 3
 
 
+def _pc_sigma2(solver, k):
+    """Eigenvalue scale sigma_t^2 (reference pc_drift.py:177: the DDIM
+    posterior variance). EDM solvers use their marginal noise scale —
+    a different unit convention, consistent within the family."""
+    if hasattr(solver.sched, "step_variance"):
+        return get_sigma(solver.sched, k) ** 2
+    return solver.sched.sigmas[k] ** 2
+
+
 def forward_directional(
-    sched: DiffusionSchedule,
+    sched,  # DiffusionSchedule | CosineDPMSchedule | Solver
     eps_pair_fn: EpsPairFn,
     xt: jnp.ndarray,  # (N, ...)
     k: jnp.ndarray,
@@ -48,17 +58,26 @@ def forward_directional(
     eigvecs: jnp.ndarray = 0.0,
     amount: float = 0.0,
     mode: PCStreamChoice = PCStreamChoice.BOTH,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One guided DDIM step from a (possibly PC-shifted) xt.
+    state=None,  # multistep solver history (None = fresh/first-order)
+    return_state: bool = False,
+):
+    """One guided solver step from a (possibly PC-shifted) xt.
 
-    Returns (x_{t-1}, x0_pred). (reference: pc_drift.py:29-93)
+    Returns (x_{t-1}, x0_pred)[, state]. (reference: pc_drift.py:29-93 —
+    DDIM-bound there; here any solver behind the editing seam works, which
+    extends the unsupervised tools to the Stable Audio family.)
     """
-    inp = xt + amount * eigvecs * jnp.sqrt(sched.step_alpha_prod[k])
+    solver = as_solver(sched, eta=eta)
+    if state is None:
+        state = solver.init_state(xt)
+    inp = xt + amount * eigvecs * solver.x0_shift_coeff(k)
     x_u = inp if mode in (PCStreamChoice.BOTH, PCStreamChoice.UNCOND) else xt
     x_c = inp if mode in (PCStreamChoice.BOTH, PCStreamChoice.TEXT) else xt
     eps_u, eps_c = eps_pair_fn(x_u, x_c, k)
     noise_pred = eps_u + cfg_tar * (eps_c - eps_u)
-    prev, x0_pred = ddim_step(sched, k, noise_pred, inp, eta=eta, variance_noise=latent)
+    state, prev, x0_pred = solver.directional_step(state, k, inp, noise_pred, latent)
+    if return_state:
+        return prev, x0_pred, state
     return prev, x0_pred
 
 
@@ -78,7 +97,7 @@ def snapshot_iterations(iters: int) -> Tuple[int, ...]:
 
 
 def get_eigenvectors(
-    sched: DiffusionSchedule,
+    sched,  # DiffusionSchedule | CosineDPMSchedule | Solver
     eps_pair_fn: EpsPairFn,
     xt: jnp.ndarray,  # (n_ev, ...) (already expanded across the ev batch)
     latents: jnp.ndarray,  # variance noise for the directional step
@@ -92,13 +111,15 @@ def get_eigenvectors(
     iters: int = 50,
     eta: float = 1.0,
     n_ev: int = 1,
+    state=None,  # incoming multistep history at step k (Stable Audio)
 ) -> EigResult:
     """Power iteration for the top-n_ev posterior PCs at one timestep.
 
     (reference: pc_drift.py:96-198.) The returned eigvecs are unit-norm
     (the reference's final ``eigvecs /= const`` after the last scaling).
     """
-    sigma2 = get_sigma(sched, k) ** 2
+    solver = as_solver(sched, eta=eta)
+    sigma2 = _pc_sigma2(solver, k)
     flat_mask = (mask.astype(bool)).astype(xt.dtype)
 
     v0 = jax.random.normal(rng, xt.shape, dtype=xt.dtype) * flat_mask * const
@@ -110,8 +131,8 @@ def get_eigenvectors(
     def one_iter(carry, i):
         eigvecs_scaled, prev_ev = carry  # eigvecs_scaled = unit vecs * const
         _, x0_shift = forward_directional(
-            sched, eps_pair_fn, xt, k, latents, cfg_tar, eta=eta,
-            eigvecs=eigvecs_scaled, amount=1.0, mode=mode,
+            solver, eps_pair_fn, xt, k, latents, cfg_tar, eta=eta,
+            eigvecs=eigvecs_scaled, amount=1.0, mode=mode, state=state,
         )
         ab = x0_shift * flat_mask - x0_pred
         norm_ab = masked_norm(ab)  # (n_ev,)
@@ -160,7 +181,7 @@ def get_eigenvectors(
 
 
 def apply_drift(
-    sched: DiffusionSchedule,
+    sched,  # DiffusionSchedule | CosineDPMSchedule | Solver
     k: jnp.ndarray,
     xt_m1: jnp.ndarray,  # (B, ...) result of forward_directional
     x0_pred: jnp.ndarray,  # (B, ...)
@@ -170,32 +191,24 @@ def apply_drift(
     eta: float = 1.0,
     amount: float = 1.0,
     use_shifted_x0_for_noisepred: bool = True,
-) -> jnp.ndarray:
-    """Shift x0hat along PCs and recompute the DDIM step (pc_drift.py:201-278)."""
+    xt: Optional[jnp.ndarray] = None,  # needed by multistep solvers
+    state=None,  # incoming multistep history at step k
+    return_state: bool = False,
+):
+    """Shift x0hat along PCs and recompute the step (pc_drift.py:201-278;
+    DDIM recovers the implied epsilon from (xt_m1, x0_pred), multistep
+    solvers re-run the update from the shifted data prediction)."""
+    solver = as_solver(sched, eta=eta)
+    if state is None:
+        state = solver.init_state(x0_pred)
     expand = (eigvals.shape[0],) + (1,) * (eigvecs.ndim - 1)
     shift_by = amount * jnp.sum(
         jnp.sqrt(eigvals).reshape(expand) * eigvecs, axis=0, keepdims=True
     )
-    x0_drift = x0_pred + shift_by
-
-    a_prev = sched.step_alpha_prod_prev[k]
-    a_t = sched.step_alpha_prod[k]
-    variance = sched.step_variance[k]
-    std_dev_t = eta * jnp.sqrt(variance)
-
-    if eta > 0:
-        xt_m1 = xt_m1 - std_dev_t * latent
-
-    # recover the epsilon implied by the un-drifted step
-    pred_sample_direction = xt_m1 - jnp.sqrt(a_prev) * x0_pred
-    pred_epsilon = pred_sample_direction / jnp.sqrt(1.0 - a_prev - std_dev_t ** 2)
-
-    if use_shifted_x0_for_noisepred:
-        pred_epsilon = pred_epsilon - jnp.sqrt(a_t) / jnp.sqrt(1.0 - a_t) * shift_by
-
-    pred_sample_direction = jnp.sqrt(1.0 - a_prev - std_dev_t ** 2) * pred_epsilon
-    xt_m1 = jnp.sqrt(a_prev) * x0_drift + pred_sample_direction
-
-    if eta > 0:
-        xt_m1 = xt_m1 + std_dev_t * latent
-    return xt_m1
+    new_state, out = solver.drift_step(
+        state, k, xt, xt_m1, x0_pred, shift_by, latent,
+        use_shifted_x0_for_noisepred=use_shifted_x0_for_noisepred,
+    )
+    if return_state:
+        return out, new_state
+    return out

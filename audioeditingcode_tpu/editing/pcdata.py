@@ -18,6 +18,17 @@ from typing import Dict, List
 import numpy as np
 
 
+def step_timestep_key(timesteps, it) -> int:
+    """Unique integer eigdata key for trajectory step ``it``.
+
+    DDIM-family timesteps are distinct integer train timesteps and the
+    reference keys eigdata by them (main_pc_extract_inv.py:234-256).
+    Continuous-time schedules (stable-audio: t = atan(sigma)*2/pi in (0,1))
+    collapse under int(), so those key by the step index instead."""
+    t = float(timesteps[int(it)])
+    return int(t) if t == int(t) else int(it)
+
+
 def save_extraction(
     path: str,
     args: dict,

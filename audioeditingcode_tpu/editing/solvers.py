@@ -35,11 +35,13 @@ from ..schedulers.ddim import (
 )
 from ..schedulers.cosine_dpm import (
     CosineDPMSchedule,
+    convert_model_output,
     init_solver_state,
     recover_noise,
     sample_xts_from_x0_sigma,
     scale_model_input,
     solver_step,
+    solver_step_from_x0,
 )
 
 
@@ -80,6 +82,43 @@ class DDIMSolver(struct.PyTreeNode):
         )
         return state, xtm1
 
+    # ---- posterior-PC surface (editing/pc_drift.py) ----
+    def x0_shift_coeff(self, k) -> jnp.ndarray:
+        """d(x_t)/d(x_0) at step k — the scale that maps an x0-space
+        direction into x_t-space (reference pc_drift.py:40:
+        xt + a*sqrt(abar_t)*v)."""
+        return jnp.sqrt(self.sched.step_alpha_prod[k])
+
+    def directional_step(self, state, k, inp, noise_pred, z):
+        """One guided step from a (possibly shifted) input; returns
+        (state, x_{t-1}, x0_pred)."""
+        from ..schedulers import ddim_step
+
+        prev, x0_pred = ddim_step(
+            self.sched, k, noise_pred, inp, eta=self.eta, variance_noise=z
+        )
+        return state, prev, x0_pred
+
+    def drift_step(self, state, k, xt, xt_m1, x0_pred, shift, z,
+                   use_shifted_x0_for_noisepred: bool = True):
+        """Recompute the step with x0_pred shifted along the PCs
+        (reference pc_drift.py:239-276 — no model call needed)."""
+        sched, eta = self.sched, self.eta
+        a_prev = sched.step_alpha_prod_prev[k]
+        a_t = sched.step_alpha_prod[k]
+        std_dev_t = eta * jnp.sqrt(sched.step_variance[k])
+        if eta > 0:
+            xt_m1 = xt_m1 - std_dev_t * z
+        pred_dir = xt_m1 - jnp.sqrt(a_prev) * x0_pred
+        pred_epsilon = pred_dir / jnp.sqrt(1.0 - a_prev - std_dev_t ** 2)
+        if use_shifted_x0_for_noisepred:
+            pred_epsilon = pred_epsilon - jnp.sqrt(a_t) / jnp.sqrt(1.0 - a_t) * shift
+        pred_dir = jnp.sqrt(1.0 - a_prev - std_dev_t ** 2) * pred_epsilon
+        xt_m1 = jnp.sqrt(a_prev) * (x0_pred + shift) + pred_dir
+        if eta > 0:
+            xt_m1 = xt_m1 + std_dev_t * z
+        return state, xt_m1
+
 
 class CosineDPMSolver(struct.PyTreeNode):
     """SDE-DPM-Solver++ (order 2) numerics — the Stable Audio family."""
@@ -119,6 +158,29 @@ class CosineDPMSolver(struct.PyTreeNode):
 
     def reverse_step(self, state, k, xt, model_output, z):
         return solver_step(self._sched, state, k, model_output, xt, z)
+
+    # ---- posterior-PC surface (editing/pc_drift.py; beyond the reference,
+    # whose forward_directional is DDIM-bound — pc_drift.py:29-93) ----
+    def x0_shift_coeff(self, k) -> jnp.ndarray:
+        """EDM parameterization: x_sigma = x0 + sigma*eps, so d(x_t)/d(x_0)=1."""
+        return jnp.ones(())
+
+    def directional_step(self, state, k, inp, noise_pred, z):
+        """One guided solver step from a (possibly shifted) UNSCALED input;
+        returns (state, x_prev, x0_pred) with x0_pred = the converted
+        data prediction (diffusers precondition_outputs)."""
+        x0_pred = convert_model_output(self._sched, k, inp, noise_pred)
+        state, prev = solver_step_from_x0(self._sched, state, k, x0_pred, inp, z)
+        return state, prev, x0_pred
+
+    def drift_step(self, state, k, xt, xt_m1, x0_pred, shift, z,
+                   use_shifted_x0_for_noisepred: bool = True):
+        """Re-run the solver update with the data prediction shifted along
+        the PCs. The solver consumes x0 directly, so the DDIM option of
+        also shifting the implied epsilon has no separate analogue here."""
+        del xt_m1, use_shifted_x0_for_noisepred
+        return solver_step_from_x0(self._sched, state, k, x0_pred + shift,
+                                   xt, z)
 
 
 Solver = Any  # DDIMSolver | CosineDPMSolver

@@ -213,6 +213,24 @@ def _updates(sched: CosineDPMSchedule, k, sample, m0, m1, noise):
     return x_first, x_second
 
 
+def solver_step_from_x0(
+    sched: CosineDPMSchedule,
+    state: SolverState,
+    k,
+    m0: jnp.ndarray,
+    sample: jnp.ndarray,
+    noise: jnp.ndarray,
+) -> Tuple[SolverState, jnp.ndarray]:
+    """One SDE-DPM-Solver++ step from an ALREADY-CONVERTED x0 prediction m0
+    (the drift-application path shifts m0 directly, the analogue of the
+    DDIM apply_drift recompute, reference pc_drift.py:239-276)."""
+    noise = jnp.where(sched.step_zero_noise[k], jnp.zeros_like(noise), noise)
+    x_first, x_second = _updates(sched, k, sample, m0, state.m1, noise)
+    use_first = sched.step_first_order[k] | ~state.m1_valid
+    prev = jnp.where(use_first, x_first, x_second)
+    return SolverState(m1=m0, m1_valid=jnp.asarray(True)), prev
+
+
 def solver_step(
     sched: CosineDPMSchedule,
     state: SolverState,
@@ -226,11 +244,7 @@ def solver_step(
     (reference: models.py:1282-1329 reverse_step_with_custom_noise — raw
     model output in, converted internally, history shifted.)"""
     m0 = convert_model_output(sched, k, sample, model_output)
-    noise = jnp.where(sched.step_zero_noise[k], jnp.zeros_like(noise), noise)
-    x_first, x_second = _updates(sched, k, sample, m0, state.m1, noise)
-    use_first = sched.step_first_order[k] | ~state.m1_valid
-    prev = jnp.where(use_first, x_first, x_second)
-    return SolverState(m1=m0, m1_valid=jnp.asarray(True)), prev
+    return solver_step_from_x0(sched, state, k, m0, sample, noise)
 
 
 def recover_noise(

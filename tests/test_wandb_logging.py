@@ -70,15 +70,18 @@ def clip(tmp_path):
     return str(p)
 
 
-def test_run_cli_disabled_by_default(fake_wandb, clip, tmp_path):
-    """wandb_disable defaults True (matching main_run.py:61) -> no calls."""
-    from audioeditingcode_tpu.cli import run
+def test_run_cli_disabled_by_default(fake_wandb):
+    """wandb_disable defaults True (matching main_run.py:61) -> the stub is
+    returned and nothing touches the wandb module (unit-level: the full-CLI
+    enabled path below already covers main())."""
+    from audioeditingcode_tpu.cli import common, run
 
-    run.main([
-        "--model_id", "test/tiny-audioldm", "--init_aud", clip,
-        "--target_prompt", "a trumpet", "--num_diffusion_steps", "4",
-        "--tstart", "2", "--results_path", str(tmp_path / "r"), "--seed", "0",
-    ])
+    args = run.parse_args(["--init_aud", "x.wav", "--target_prompt", "p"])
+    assert args.wandb_disable is True
+    w = common.init_wandb(args, "text_edit", "run")
+    assert isinstance(w, common.WandbStub)
+    common.log_edit_artifacts(w, "n", 16000, np.zeros(10), np.zeros(10))
+    common.log_pc_corrs(w, [], [], [], 1)
     assert fake_wandb.logs == [] and fake_wandb.inits == []
 
 
