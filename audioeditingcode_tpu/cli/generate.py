@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fraction [start, end] of the mel-bin axis to "
                         "regenerate; sr mode defaults to 0.75 1.0 (reference "
                         "freq_mask_ratio_start_and_end)")
+    p.add_argument("--noise_sampler", type=str, default="brownian",
+                   choices=["brownian", "iid"],
+                   help="Stable Audio solver variance noise: 'brownian' "
+                        "matches the reference's BrownianTreeNoiseSampler "
+                        "path-consistency (models.py:1305-1312); 'iid' is "
+                        "marginally identical per-run")
     p.add_argument("--save_path", type=str, default="./output")
     p.add_argument("--weights_dir", type=str, default=None)
     p.add_argument("--dtype", type=str, default="float32",
@@ -106,6 +112,17 @@ def _main_stable_audio(args, mode, pipe, rng, seed):
         "cond": pipe.encode_text([args.text or ""]),
     }
 
+    def _step_noise(n_skip):
+        """Solver variance noise rows for steps n_skip..S, host-built and
+        shipped as a jit argument (None = sample i.i.d. inside the scan)."""
+        if args.noise_sampler != "brownian":
+            return None
+        from ..schedulers.brownian import brownian_noise_for_sigmas
+
+        sigmas = np.asarray(as_solver(pipe.sched).sched.sigmas)
+        return jnp.asarray(brownian_noise_for_sigmas(
+            seed, sigmas[n_skip:], w0.shape))
+
     if mode == "inpaint":
         # regenerate the union of the masked regions, like the mel branch;
         # time windows in latent frames (sample_rate / hop_length per s)
@@ -127,24 +144,25 @@ def _main_stable_audio(args, mode, pipe, rng, seed):
                 "the output would silently equal the source")
 
         @jax.jit
-        def gen(b, w0, mask, r):
+        def gen(b, w0, mask, r, zs):
             p = pipe.bind(b["params"])
             eps_pair = p.make_eps_pair(b["uncond"], b["cond"])
             w = inpaint_latents_cosine(as_solver(p.sched), eps_pair, w0, mask,
-                                       r, args.guidance_scale)
+                                       r, args.guidance_scale, noises=zs)
             return p.decode_to_mel(p.vae_decode(w))
 
-        audio = np.asarray(gen(bundle, w0, jnp.asarray(mask), rng))
+        audio = np.asarray(gen(bundle, w0, jnp.asarray(mask), rng,
+                               _step_noise(0)))
     else:
         @jax.jit
-        def gen(b, w0, r):
+        def gen(b, w0, r, zs):
             p = pipe.bind(b["params"])
             eps_pair = p.make_eps_pair(b["uncond"], b["cond"])
             w = sdedit_loop_cosine(as_solver(p.sched), eps_pair, w0, r, skip,
-                                   args.guidance_scale)
+                                   args.guidance_scale, noises=zs)
             return p.decode_to_mel(p.vae_decode(w))
 
-        audio = np.asarray(gen(bundle, w0, rng))
+        audio = np.asarray(gen(bundle, w0, rng, _step_noise(skip)))
 
     os.makedirs(args.save_path, exist_ok=True)
     base = (args.text or "generation").replace(" ", "_")[:60]

@@ -40,6 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wandb_name", type=str, default=None)
     p.add_argument("--wandb_group", type=str, default=None)
     p.add_argument("--wandb_disable", action="store_true")
+    p.add_argument("--noise_sampler", type=str, default="brownian",
+                   choices=["brownian", "iid"],
+                   help="Stable Audio only: solver variance noise source. "
+                        "'brownian' mirrors the reference's "
+                        "BrownianTreeNoiseSampler used whenever no recovered "
+                        "noise is supplied (models.py:1305-1312)")
     return p
 
 
@@ -81,21 +87,34 @@ def main(argv=None):
     tgt = pipe.encode_text(args.target_prompt)
 
     if stable_audio:
+        if args.noise_sampler == "brownian":
+            from ..schedulers.brownian import brownian_noise_for_sigmas
+
+            sigmas = np.asarray(pipe.sched.sched.sigmas)
+            zs = jnp.asarray(
+                brownian_noise_for_sigmas(seed, sigmas[skip:], w0.shape))
+        else:
+            zs = None
+
+        # zs travels as a jit ARGUMENT (closure capture would bake a
+        # (runs, C, L) constant into the HLO — remote-compile payload limit)
         @jax.jit
-        def run(params, w0, rng):
+        def run(params, w0, rng, zs):
             p = pipe.bind(params)
             eps_pair = p.make_eps_pair(uncond, tgt)
             return sdedit_loop_cosine(p.sched, eps_pair, w0, rng, skip=skip,
-                                      cfg_tar=float(args.cfg_tar))
+                                      cfg_tar=float(args.cfg_tar), noises=zs)
     else:
+        zs = None
+
         @jax.jit
-        def run(params, w0, rng):
+        def run(params, w0, rng, zs):
             p = pipe.bind(params)
             eps_pair = p.make_eps_pair(uncond, tgt)
             return sdedit_loop(p.sched, eps_pair, w0, rng, skip=skip,
                                cfg_tar=float(args.cfg_tar), eta=args.eta)
 
-    xt = run(pipe.params_dict(), w0, rng)
+    xt = run(pipe.params_dict(), w0, rng, zs)
 
     x_dec = pipe.vae_decode(xt)
     audio = np.asarray(pipe.decode_to_mel(x_dec))

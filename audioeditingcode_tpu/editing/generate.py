@@ -123,6 +123,7 @@ def inpaint_latents_cosine(
     mask: jnp.ndarray,  # 1 = regenerate, 0 = keep source
     rng: jax.Array,
     cfg_tar: float,
+    noises: jnp.ndarray = None,  # (S,) + w0.shape solver variance noise
 ) -> jnp.ndarray:
     """Masked generation on the sigma-space cosine solver (Stable Audio):
     after every solver step the kept region is re-projected to the source
@@ -130,13 +131,18 @@ def inpaint_latents_cosine(
     ``inpaint_latents`` (reference pipeline.py:248-286 semantics).
 
     The 2nd-order history sees the pre-blend model output; the blend runs
-    on the sample only, like the mel-space path."""
+    on the sample only, like the mel-space path.  ``noises`` overrides the
+    solver variance noise with caller-supplied increments (Brownian tree,
+    schedulers/brownian.py); the keep-region q-sample noise stays i.i.d.
+    either way (it is forward noising, not solver noise)."""
     sched = solver.sched
     S = sched.num_inference_steps
     r_init, r_keep, r_steps = jax.random.split(rng, 3)
     xt = sched.sigmas[0] * jax.random.normal(r_init, w0.shape, dtype=w0.dtype)
     keep_noise = jax.random.normal(r_keep, (S,) + tuple(w0.shape), dtype=w0.dtype)
-    step_noise = jax.random.normal(r_steps, (S,) + tuple(w0.shape), dtype=w0.dtype)
+    step_noise = (jnp.asarray(noises, dtype=w0.dtype) if noises is not None
+                  else jax.random.normal(r_steps, (S,) + tuple(w0.shape),
+                                         dtype=w0.dtype))
 
     def body(carry, inputs):
         xt, state = carry

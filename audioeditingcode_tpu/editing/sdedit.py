@@ -59,8 +59,14 @@ def sdedit_loop_cosine(
     rng: jax.Array,
     skip: int,
     cfg_tar: float,
+    noises: jnp.ndarray = None,  # (S - skip,) + w0.shape variance noise
 ) -> jnp.ndarray:
-    """SDEdit on the sigma-space cosine solver (Stable Audio family)."""
+    """SDEdit on the sigma-space cosine solver (Stable Audio family).
+
+    ``noises`` overrides the per-step variance noise — the CLIs pass
+    Brownian-tree increments here (schedulers/brownian.py) to match the
+    reference's generation-mode sampler (models.py:1305-1312); ``None``
+    keeps i.i.d. Gaussians (marginally identical)."""
     sched = solver.sched
     S = sched.num_inference_steps
     runs = S - skip
@@ -68,7 +74,9 @@ def sdedit_loop_cosine(
 
     noise = jax.random.normal(k_noise, w0.shape, dtype=w0.dtype)
     xt = w0 + sched.sigmas[skip] * noise
-    latents = jax.random.normal(k_lat, (runs,) + w0.shape, dtype=w0.dtype)
+    latents = (jnp.asarray(noises, dtype=w0.dtype) if noises is not None
+               else jax.random.normal(k_lat, (runs,) + w0.shape,
+                                      dtype=w0.dtype))
 
     def body(carry, inputs):
         xt, state = carry
