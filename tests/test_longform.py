@@ -80,6 +80,31 @@ def test_run_long_cli(tmp_path):
     assert sr_out == sr and len(data) > sr  # stitched to ~full length
 
 
+def test_run_long_cli_stable_audio(tmp_path):
+    """Waveform-domain chunked edit on the Stable Audio family (tiny model:
+    64-sample / 16 ms VAE window @ 4 kHz -> 4 windows over a 50 ms clip)."""
+    from scipy.io import wavfile
+
+    from audioeditingcode_tpu.cli.run_long import main
+
+    sr = 4000
+    t = np.arange(200, dtype=np.float32) / sr
+    p = str(tmp_path / "clip.wav")
+    wavfile.write(p, sr, (0.4 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16))
+
+    out = main([
+        "--model_id", "test/tiny-stable-audio", "--init_aud", p,
+        "--target_prompt", "a violin", "--source_prompt", "a sine tone",
+        "--num_diffusion_steps", "4", "--tstart", "3",
+        "--chunk_seconds", "0.016", "--overlap_seconds", "0.004",
+        "--results_path", str(tmp_path / "rsa"), "--seed", "0",
+    ])
+    assert os.path.exists(out)
+    sr_out, data = wavfile.read(out)
+    assert sr_out == sr
+    assert data.shape[0] == 200  # stitched back to the input length
+
+
 def test_run_long_cli_dp_sharded(tmp_path):
     """Window axis sharded over a 2-way dp mesh."""
     import jax
