@@ -80,18 +80,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tensor-parallel ways over the device mesh")
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel ways over the device mesh")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel ways (Stable Audio only): shard "
+                        "the DiT latent sequence axis over the mesh")
     return p
 
 
-def maybe_shard_pipeline(pipe, dp: int, tp: int):
-    """Shard model params over a (dp, tp) mesh when requested; returns the
-    mesh (or None). Weight matrices shard over output channels on 'tp';
-    XLA GSPMD inserts the ICI collectives."""
-    if dp * tp <= 1:
+def maybe_shard_pipeline(pipe, dp: int, tp: int, sp: int = 1):
+    """Shard model params over a (dp, tp[, sp]) mesh when requested; returns
+    the mesh (or None). Weight matrices shard over output channels on 'tp';
+    'sp' adds a sequence axis for the Stable Audio DiT (annotate the latent
+    with parallel.mesh.seq_sharding); XLA GSPMD inserts the ICI collectives."""
+    if dp * tp * sp <= 1:
         return None
     from ..parallel.mesh import make_mesh, shard_module_params
 
-    mesh = make_mesh(n_devices=dp * tp, dp=dp, tp=tp)
+    mesh = make_mesh(n_devices=dp * tp * sp, dp=dp, tp=tp,
+                     sp=sp if sp > 1 else None)
     for attr in ("unet_params", "vae_params", "vocoder_params", "dit_params"):
         params = getattr(pipe, attr, None)
         if params is not None:
@@ -137,7 +142,11 @@ def main(argv=None):
     pipe = load_model(args.model_id, args.num_diffusion_steps,
                       weights_dir=args.weights_dir, dtype=dtype)
     spec = resolve_spec(args.model_id)
-    maybe_shard_pipeline(pipe, args.dp, args.tp)
+    if args.sp > 1 and spec.family != "stable-audio":
+        raise ValueError("--sp shards the DiT latent sequence axis; it "
+                         "requires a stable-audio model (mel families scale "
+                         "via --dp/--tp)")
+    mesh = maybe_shard_pipeline(pipe, args.dp, args.tp, args.sp)
 
     x0, sr, duration = load_audio(
         args.init_aud, pipe.mel_config,
@@ -154,6 +163,12 @@ def main(argv=None):
             pipe.sched = _dc.replace(pipe.sched, first_order=True)
         rng, enc_rng = jax.random.split(rng)
         w0 = pipe.vae_encode(x0, rng=enc_rng)
+        if mesh is not None and "sp" in mesh.axis_names:
+            # sequence-parallel: the latent L axis shards over 'sp'; GSPMD
+            # propagates S-sharding through the DiT and gathers K/V at the
+            # attention einsums (parallel/mesh.py)
+            from ..parallel.mesh import seq_sharding
+            w0 = jax.device_put(w0, seq_sharding(mesh, w0.ndim))
     else:
         w0 = pipe.vae_encode(x0)
 

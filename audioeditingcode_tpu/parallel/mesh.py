@@ -9,6 +9,16 @@ path); multi-chip scaling is a new first-class component of this framework:
 - 'tp' (tensor axis): shards UNet/VAE weight matrices along output channels
   / attention heads. XLA GSPMD inserts the all-gathers/reduce-scatters over
   ICI from the NamedSharding annotations — no hand-written collectives.
+- 'sp' (sequence axis, opt-in): shards the Stable Audio DiT's latent
+  sequence axis. Pointwise/LN/FF work splits S-ways; GSPMD gathers K/V at
+  the attention einsums (K/V per layer is ~1.5 MB bf16 — cheap on ICI).
+  Rides the XLA attention path; the Pallas kernel is a single-chip
+  specialization (no SPMD partitioning rule).
+
+Pipeline parallelism is deliberately absent: editing is a latency-bound
+300-step sequential scan per clip, where pp only adds bubble latency (dp
+over clips/windows is the throughput axis). Expert parallelism is n/a —
+no model family here is a MoE.
 """
 
 from __future__ import annotations
@@ -22,10 +32,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
-              tp: Optional[int] = None) -> Mesh:
-    """Create a ('dp', 'tp') mesh over the first n_devices devices."""
+              tp: Optional[int] = None, sp: Optional[int] = None) -> Mesh:
+    """Create a ('dp', 'tp') mesh — or ('dp', 'tp', 'sp') when sp > 1 —
+    over the first n_devices devices."""
     devices = jax.devices()
     n = n_devices or len(devices)
+    if sp is not None and sp > 1:
+        if tp is None:
+            tp = 1
+        dp = dp or n // (tp * sp)
+        assert dp * tp * sp == n, f"dp({dp}) * tp({tp}) * sp({sp}) != n({n})"
+        mesh_devices = mesh_utils.create_device_mesh((dp, tp, sp),
+                                                     devices=devices[:n])
+        return Mesh(mesh_devices, ("dp", "tp", "sp"))
     if dp is None and tp is None:
         tp = 2 if n % 2 == 0 and n >= 2 else 1
         dp = n // tp
@@ -46,6 +65,19 @@ def replicate(tree, mesh: Mesh):
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """Shard the leading batch axis over 'dp', replicate the rest."""
     return NamedSharding(mesh, P("dp", *([None] * (ndim - 1))))
+
+
+def seq_sharding(mesh: Mesh, ndim: int, seq_axis: int = -1) -> NamedSharding:
+    """Shard one sequence axis over 'sp', replicate the rest.
+
+    For (B, C, L) Stable Audio latents the default seq_axis=-1 shards L;
+    annotating the editing scan's input latent is enough — GSPMD propagates
+    the S-sharding through LN/FF/pointwise layers and gathers K/V at the
+    attention einsums.
+    """
+    spec = [None] * ndim
+    spec[seq_axis % ndim] = "sp"
+    return NamedSharding(mesh, P(*spec))
 
 
 def _param_spec(path_names, x: np.ndarray, tp: int) -> P:
