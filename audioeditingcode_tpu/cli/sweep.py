@@ -80,11 +80,7 @@ def main(argv=None):
         warnings.warn("--weights_dir not given: running with RANDOM weights.")
 
     spec = resolve_spec(args.model_id)
-    if spec.family == "stable-audio":
-        raise NotImplementedError(
-            "the sweep tool drives the DDIM-family inversion; Stable Audio "
-            "threads solver history per tstart — use main_run.py per combo"
-        )
+    stable_audio = spec.family == "stable-audio"
 
     S = args.num_diffusion_steps
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -92,10 +88,20 @@ def main(argv=None):
                       dtype=dtype)
     maybe_shard_pipeline(pipe, args.dp, args.tp)
 
-    x0, sr, duration = load_audio(args.init_aud, pipe.mel_config, stft=True,
+    x0, sr, duration = load_audio(args.init_aud, pipe.mel_config,
+                                  stft=not stable_audio,
                                   model_sr=pipe.get_sr())
     x0 = jnp.asarray(x0)
-    w0 = pipe.vae_encode(x0)
+    if stable_audio:
+        # duration conditioning + decode crop (run.py stable-audio path);
+        # the forward pass also returns the 2nd-order solver history so
+        # every tstart's reverse scan can warm-start from extras[t-1]
+        max_s = pipe.audio_vae_length / pipe.sample_rate
+        pipe.setup_duration(0.0, min(duration, max_s))
+        rng, enc_rng = jax.random.split(rng)
+        w0 = pipe.vae_encode(x0, rng=enc_rng)
+    else:
+        w0 = pipe.vae_encode(x0)
 
     empty = pipe.encode_text([""], negative=True)
     uncond = pipe.encode_text([args.target_neg_prompt], negative=True)
@@ -117,20 +123,25 @@ def main(argv=None):
         den = p.make_denoiser(b["empty"], b["src"], b["cfg_src_t"])
         return inversion_forward_process(
             p.sched, den, w0, r, eta=args.eta,
-            numerical_fix=args.numerical_fix)
+            numerical_fix=args.numerical_fix, return_extras=stable_audio)
 
     rng, r_inv = jax.random.split(rng)
-    _, zs, xts = invert(bundle, w0, r_inv)
+    if stable_audio:
+        _, zs, xts, extras = invert(bundle, w0, r_inv)
+    else:
+        _, zs, xts = invert(bundle, w0, r_inv)
+        extras = None
 
     # ---- reverse passes: one compile per tstart, cfg_tar traced ----------
     def make_reverse(tstart: int):
         @jax.jit
-        def reverse(b, xts, zs, cfg_tar):
+        def reverse(b, xts, zs, hist, cfg_tar):
             p = pipe.bind({**b["params"], "sched": b["sched"]})
             cfg_t = jnp.ones((1,) + w0.shape[1:], jnp.float32) * cfg_tar
             den = p.make_denoiser(b["uncond"], b["tgt"], cfg_t)
             w_edit = inversion_reverse_process(p.sched, den, xts,
-                                               zs[:tstart], eta=args.eta)
+                                               zs[:tstart], eta=args.eta,
+                                               init_history=hist)
             x_dec = p.vae_decode(w_edit)
             return x_dec, p.decode_to_mel(x_dec)
 
@@ -147,15 +158,18 @@ def main(argv=None):
     for tstart in args.tstarts:
         t = min(int(tstart), S)
         reverse = make_reverse(t)
+        hist = extras[t - 1] if stable_audio else None
         for cfg_tar in args.cfg_tars:
-            x_dec, audio = reverse(bundle, xts, zs,
+            x_dec, audio = reverse(bundle, xts, zs, hist,
                                    jnp.asarray(cfg_tar, jnp.float32))
             name = edit_image_name("ours", [args.cfg_src], [cfg_tar],
                                    S - t, S)
             out = os.path.join(save_path, name + ".wav")
-            write_wav(out, np.asarray(audio), sr)
-            save_spectrogram_png(os.path.join(save_path, name + ".png"),
-                                 np.asarray(x_dec))
+            audio = np.asarray(audio)
+            write_wav(out, audio[0] if audio.ndim == 3 else audio, sr)
+            if not stable_audio:
+                save_spectrogram_png(os.path.join(save_path, name + ".png"),
+                                     np.asarray(x_dec))
             outs.append(out)
             print(f"[+] tstart={t} cfg_tar={cfg_tar}: {out}")
     dump_run_summary(save_path, args, {"seed": seed, "n_edits": len(outs)})

@@ -60,3 +60,33 @@ def test_sweep_matches_single_edit(wav_file, tmp_path):
     ])
     sr, data = wavfile.read(outs[0])
     assert sr == 16000 and np.isfinite(data).all() and len(data) > 0
+
+
+def test_sweep_stable_audio(tmp_path):
+    """Stable Audio sweep: ONE history-returning inversion feeds every
+    (tstart, cfg_tar) cell; each reverse warm-starts the 2nd-order solver
+    from extras[tstart-1]."""
+    from scipy.io import wavfile
+
+    from audioeditingcode_tpu.cli.sweep import main
+
+    sr = 4000
+    t = np.arange(64, dtype=np.float32) / sr
+    p = str(tmp_path / "clip.wav")
+    wavfile.write(p, sr, (0.4 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16))
+
+    outs = main([
+        "--model_id", "test/tiny-stable-audio", "--init_aud", p,
+        "--target_prompt", "a violin", "--source_prompt", "a sine",
+        "--num_diffusion_steps", "4", "--tstarts", "2", "3",
+        "--cfg_tars", "6", "12",
+        "--results_path", str(tmp_path / "sweep_sa"), "--seed", "0",
+    ])
+    assert len(outs) == 4
+    for o in outs:
+        sr_out, data = wavfile.read(o)
+        assert sr_out == sr and np.isfinite(data).all()
+    # different cfg_tar at the same tstart must differ
+    a = wavfile.read(outs[0])[1]
+    b = wavfile.read(outs[1])[1]
+    assert not np.array_equal(a, b)
