@@ -35,8 +35,43 @@ def resolve_spec(model_id: str) -> ModelSpec:
     )
 
 
+def _fast_init(module, rng, init_args):
+    """Materialize params from shapes only — no init forward compute.
+
+    ``module.init`` executes the model's forward pass to run initializers;
+    on one CPU that is minutes for a full-size UNet (init is also run when
+    only a param TEMPLATE for ``from_bytes`` is needed). ``jax.eval_shape``
+    traces the same init abstractly (zero FLOPs); leaves are then filled
+    name-aware — 'scale' ones, 'bias' zeros, everything else N(0, 0.02),
+    the ballpark of lecun-normal at these fan-ins. Real checkpoints
+    overwrite every leaf; smoke mode only needs a non-degenerate random
+    network, which this is.
+    """
+    shapes = jax.eval_shape(lambda r: module.init(r, *init_args), rng)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    # numpy PCG instead of jax threefry: unjitted threefry on one CPU core
+    # generates ~185M UNet leaves in ~a minute; PCG does it in seconds.
+    # Deterministic in (rng, leaf index).
+    seed = [int(x) for x in np.asarray(rng).ravel()[:2]]
+
+    def leaf(i, path, s):
+        name = getattr(path[-1], "key", getattr(path[-1], "name", ""))
+        if name == "scale":
+            return jnp.ones(s.shape, s.dtype)
+        if name == "bias":
+            return jnp.zeros(s.shape, s.dtype)
+        g = np.random.default_rng(seed + [i])
+        return jnp.asarray(
+            0.02 * g.standard_normal(s.shape, dtype=np.float32), s.dtype
+        )
+
+    return jax.tree_util.tree_unflatten(
+        treedef, [leaf(i, p, s) for i, (p, s) in enumerate(flat)]
+    )
+
+
 def _load_or_init(module, rng, init_args, weights_dir, name):
-    params = module.init(rng, *init_args)
+    params = _fast_init(module, rng, init_args)
     if weights_dir is not None:
         path = os.path.join(weights_dir, f"{name}.msgpack")
         if os.path.exists(path):
