@@ -99,8 +99,17 @@ def bench_mel(model_id: str, steps: int, dtype_s: str) -> dict:
     return _row(model_id, dtype_s, steps + tstart, dt, list(spec_shape))
 
 
-def bench_stable_audio(model_id: str, steps: int, dtype_s: str) -> dict:
-    """DiT edit with 2nd-order solver history threading (100+50 steps)."""
+def bench_stable_audio(model_id: str, steps: int, dtype_s: str,
+                       empty_src: bool = False) -> dict:
+    """DiT edit with 2nd-order solver history threading (100+50 steps).
+
+    empty_src=True benches the editing-typical CLI config (no source
+    prompt): the inversion's CFG term is exactly zero for an empty prompt
+    (eps_"" == eps_uncond), so the forward pass runs batch-1 uncond — an
+    exact-math optimization the CLI applies (run.py src=None path) and the
+    reference never exploits (it always runs both CFG streams,
+    inversion_utils.py:95-102). The default row keeps the worst-case
+    batch-2 CFG forward for comparability."""
     import jax
     import jax.numpy as jnp
 
@@ -126,14 +135,20 @@ def bench_stable_audio(model_id: str, steps: int, dtype_s: str) -> dict:
     @jax.jit
     def edit(bundle, w0, rng):
         p = pipe.bind(bundle["params"])
-        denoise = p.make_denoiser(bundle["uncond"], bundle["tgt"], bundle["cfg_t"])
+        fwd_den = (p.make_denoiser(bundle["uncond"], None, None) if empty_src
+                   else p.make_denoiser(bundle["uncond"], bundle["tgt"],
+                                        bundle["cfg_t"]))
+        rev_den = p.make_denoiser(bundle["uncond"], bundle["tgt"], bundle["cfg_t"])
         _, zs, xts, extras = inversion_forward_process(
-            p.sched, denoise, w0, rng, return_extras=True)
+            p.sched, fwd_den, w0, rng, return_extras=True)
         return inversion_reverse_process(
-            p.sched, denoise, xts, zs[:tstart], init_history=extras[tstart - 1])
+            p.sched, rev_den, xts, zs[:tstart], init_history=extras[tstart - 1])
 
     dt = _timed_reps(edit, bundle, w0)
-    return _row(model_id, dtype_s, steps + tstart, dt, list(shape))
+    row = _row(model_id, dtype_s, steps + tstart, dt, list(shape))
+    if empty_src:
+        row["config"] = "empty_src_batch1_fwd"
+    return row
 
 
 def _row(model_id, dtype_s, unet_steps, dt, latent) -> dict:
@@ -178,6 +193,16 @@ def main():
               f"({time.perf_counter() - t0:.0f}s incl. load/compile)",
               file=sys.stderr)
         rows.append(row)
+        if "stable-audio" in model_id:
+            # editing-typical config: empty source prompt -> exact batch-1
+            # uncond inversion (see bench_stable_audio docstring)
+            t0 = time.perf_counter()
+            row = bench_stable_audio(model_id, sa_steps, dtype_s, empty_src=True)
+            print(f"[bench] {model_id} (empty src): "
+                  f"{row['steps_per_sec_per_chip']} steps/s/chip "
+                  f"({time.perf_counter() - t0:.0f}s incl. compile)",
+                  file=sys.stderr)
+            rows.append(row)
 
     head = next((r for r in rows if r["model"] == HEADLINE), rows[0])
     print(json.dumps({
