@@ -232,3 +232,46 @@ def test_converter_layer_rules():
     params = {"params": torch_to_flax_params(sd, params["params"])}
     ours = np.asarray(fgn.apply(params, xn)).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_fast_init_matches_module_init_structure():
+    """_fast_init must produce exactly module.init's tree structure,
+    shapes and dtypes — serialization.from_bytes restores checkpoints into
+    this template, so any drift silently breaks weight loading."""
+    import jax
+    import jax.numpy as jnp
+
+    from audioeditingcode_tpu.models.registry import (
+        _dummy_cond_args,
+        _fast_init,
+        resolve_spec,
+    )
+    from audioeditingcode_tpu.models.unet2d import UNet2DConditionModel
+
+    spec = resolve_spec("test/tiny-audioldm")
+    unet = UNet2DConditionModel(spec.unet, dtype=jnp.float32)
+    lat_w = spec.mel.n_mel_channels // spec.vae.downscale_factor
+    x_lat = jnp.ones((1, 16, lat_w, spec.unet.in_channels))
+    hs, cls, hs1 = _dummy_cond_args(spec)
+    args = (x_lat, jnp.array([1]), hs, cls, None, hs1)
+    rng = jax.random.PRNGKey(0)
+
+    real = unet.init(rng, *args)
+    fast = _fast_init(unet, rng, args)
+
+    assert (jax.tree_util.tree_structure(real)
+            == jax.tree_util.tree_structure(fast))
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(real),
+        jax.tree_util.tree_leaves_with_path(fast),
+    ):
+        assert pa == pb and a.shape == b.shape and a.dtype == b.dtype, (pa, pb)
+    # name-aware fill: norm scales are ones, biases zeros
+    import numpy as np
+
+    for p, leaf in jax.tree_util.tree_leaves_with_path(fast):
+        name = getattr(p[-1], "key", "")
+        if name == "scale":
+            assert (np.asarray(leaf) == 1).all()
+        elif name == "bias":
+            assert (np.asarray(leaf) == 0).all()
