@@ -42,10 +42,12 @@ def _fast_init(module, rng, init_args):
     on one CPU that is minutes for a full-size UNet (init is also run when
     only a param TEMPLATE for ``from_bytes`` is needed). ``jax.eval_shape``
     traces the same init abstractly (zero FLOPs); leaves are then filled
-    name-aware — 'scale' ones, 'bias' zeros, everything else N(0, 0.02),
-    the ballpark of lecun-normal at these fan-ins. Real checkpoints
-    overwrite every leaf; smoke mode only needs a non-degenerate random
-    network, which this is.
+    name/shape-aware — 'scale' ones, 'bias' zeros, >=2-D kernels
+    lecun-normal by fan-in (flax's Dense/Conv default magnitude; smaller
+    fixed scales leave tiny smoke models too linear for CFG scales to
+    change the int16 output), other 1-D leaves N(0, 1) (Fourier/embedding
+    projections). Real checkpoints overwrite every leaf; smoke mode only
+    needs a non-degenerate random network, which this is.
     """
     shapes = jax.eval_shape(lambda r: module.init(r, *init_args), rng)
     flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
@@ -61,8 +63,9 @@ def _fast_init(module, rng, init_args):
         if name == "bias":
             return jnp.zeros(s.shape, s.dtype)
         g = np.random.default_rng(seed + [i])
+        std = (1.0 / np.sqrt(np.prod(s.shape[:-1]))) if len(s.shape) >= 2 else 1.0
         return jnp.asarray(
-            0.02 * g.standard_normal(s.shape, dtype=np.float32), s.dtype
+            std * g.standard_normal(s.shape, dtype=np.float32), s.dtype
         )
 
     return jax.tree_util.tree_unflatten(
