@@ -69,6 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--dp", type=int, default=1,
                    help="shard the clip axis over 'dp'")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel ways (Stable Audio only): shard "
+                        "each clip's DiT latent sequence axis")
     return p
 
 
@@ -117,6 +120,9 @@ def main(argv=None):
 
     spec = resolve_spec(args.model_id)
     stable_audio = spec.family == "stable-audio"
+    if args.sp > 1 and not stable_audio:
+        raise ValueError("--sp shards the DiT latent sequence axis; it "
+                         "requires a stable-audio model")
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     tstart = min(args.tstart, args.num_diffusion_steps)
     skip = args.num_diffusion_steps - tstart
@@ -124,7 +130,7 @@ def main(argv=None):
     if stable_audio:
         pipe = load_model(args.model_id, args.num_diffusion_steps,
                           weights_dir=args.weights_dir, dtype=dtype)
-        mesh = maybe_shard_pipeline(pipe, args.dp, args.tp)
+        mesh = maybe_shard_pipeline(pipe, args.dp, args.tp, args.sp)
         sr = pipe.sample_rate
         max_s = pipe.audio_vae_length / sr
         clips, durations = [], []

@@ -63,6 +63,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--dp", type=int, default=1,
                    help="shard the window axis over 'dp'")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel ways (Stable Audio only): shard "
+                        "each window's DiT latent sequence axis")
     return p
 
 
@@ -77,7 +80,8 @@ def _main_stable_audio(args, seed, rng):
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     pipe = load_model(args.model_id, args.num_diffusion_steps,
                       weights_dir=args.weights_dir, dtype=dtype)
-    mesh = maybe_shard_pipeline(pipe, args.dp, args.tp)
+    mesh = maybe_shard_pipeline(pipe, args.dp, args.tp,
+                                getattr(args, "sp", 1))
     sr = pipe.sample_rate
     max_s = pipe.audio_vae_length / sr
 
@@ -182,6 +186,9 @@ def main(argv=None):
     spec = resolve_spec(args.model_id)
     if spec.family == "stable-audio":
         return _main_stable_audio(args, seed, rng)
+    if getattr(args, "sp", 1) > 1:
+        raise ValueError("--sp shards the DiT latent sequence axis; it "
+                         "requires a stable-audio model")
 
     # window geometry in mel frames, multiples of the VAE pad (4)
     win = max(int(round(args.chunk_seconds * MEL_FPS / 4)) * 4, 8)

@@ -69,10 +69,15 @@ def overlap_add(
 
 
 def dp_constraint(w: jnp.ndarray, mesh):
-    """Shard the leading (window) axis over 'dp' when a mesh is given."""
+    """Shard the leading (window/clip) axis over 'dp' when a mesh is given;
+    on a mesh with an 'sp' axis the trailing (sequence) axis shards too
+    (Stable Audio waveform latents — see parallel/mesh.py)."""
     if mesh is None:
         return w
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    sh = NamedSharding(mesh, P("dp", *([None] * (w.ndim - 1))))
+    spec = ["dp"] + [None] * (w.ndim - 1)
+    if "sp" in mesh.axis_names:
+        spec[-1] = "sp"
+    sh = NamedSharding(mesh, P(*spec))
     return jax.lax.with_sharding_constraint(w, sh)

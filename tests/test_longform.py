@@ -129,3 +129,29 @@ def test_run_long_cli_dp_sharded(tmp_path):
         "--results_path", str(tmp_path / "r2"), "--seed", "1",
     ])
     assert os.path.exists(out)
+
+
+def test_run_long_cli_sp_stable_audio(tmp_path):
+    """Window axis over 'dp' and the DiT sequence axis over 'sp'."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from scipy.io import wavfile
+
+    from audioeditingcode_tpu.cli.run_long import main
+
+    sr = 4000
+    t = np.arange(200, dtype=np.float32) / sr
+    p = str(tmp_path / "clip.wav")
+    wavfile.write(p, sr, (0.4 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16))
+
+    out = main([
+        "--model_id", "test/tiny-stable-audio", "--init_aud", p,
+        "--target_prompt", "a violin",
+        "--num_diffusion_steps", "4", "--tstart", "3",
+        "--chunk_seconds", "0.016", "--overlap_seconds", "0.004",
+        "--dp", "2", "--tp", "2", "--sp", "2",
+        "--results_path", str(tmp_path / "rsp"), "--seed", "0",
+    ])
+    assert os.path.exists(out)

@@ -90,3 +90,20 @@ def test_batch_edit_missing_file_raises(tmp_path):
             "--init_aud", str(tmp_path / "nope.wav"),
             "--target_prompt", "x",
         ])
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_batch_edit_dp_sp_stable_audio(tmp_path):
+    """Clip axis over 'dp' AND each clip's DiT sequence axis over 'sp'."""
+    sr = 4000
+    d = str(tmp_path / "clips")
+    paths = _write_clips(d, sr, [64, 64], [220, 330])
+
+    outs = main([
+        "--model_id", "test/tiny-stable-audio", "--init_aud", *paths,
+        "--target_prompt", "a violin",
+        "--num_diffusion_steps", "4", "--tstart", "3",
+        "--dp", "2", "--tp", "2", "--sp", "2",
+        "--results_path", str(tmp_path / "r"), "--seed", "0",
+    ])
+    assert len(outs) == 2 and all(os.path.exists(o) for o in outs)
