@@ -138,6 +138,11 @@ def main(argv=None):
             wav, _, dur = load_audio(f, None, stft=False, model_sr=sr)
             clips.append(np.asarray(wav))
             durations.append(dur)
+        if len({c.shape[0] for c in clips}) > 1:
+            raise ValueError(
+                "batch clips must share a channel count; got "
+                + ", ".join(f"{f}: {c.shape[0]}ch" for f, c in zip(files, clips))
+            )
         pipe.setup_duration(0.0, min(max(durations), max_s))
         T_pad = max(c.shape[-1] for c in clips)
         x0 = np.zeros((n_clip, clips[0].shape[0], T_pad), np.float32)
