@@ -107,3 +107,24 @@ def test_batch_edit_dp_sp_stable_audio(tmp_path):
         "--results_path", str(tmp_path / "r"), "--seed", "0",
     ])
     assert len(outs) == 2 and all(os.path.exists(o) for o in outs)
+
+
+def test_batch_edit_mixed_channels_rejected(tmp_path):
+    """Mono + stereo clips in one Stable Audio batch is a clear error."""
+    from audioeditingcode_tpu.utils.audio_io import write_wav
+
+    sr = 4000
+    d = str(tmp_path / "clips")
+    os.makedirs(d)
+    t = np.arange(64, dtype=np.float32) / sr
+    write_wav(os.path.join(d, "mono.wav"), (0.4 * np.sin(2 * np.pi * 220 * t))[None], sr)
+    write_wav(os.path.join(d, "stereo.wav"),
+              np.stack([0.4 * np.sin(2 * np.pi * 330 * t)] * 2), sr)
+
+    with pytest.raises(ValueError, match="channel count"):
+        main([
+            "--model_id", "test/tiny-stable-audio", "--init_aud", d,
+            "--target_prompt", "a violin",
+            "--num_diffusion_steps", "4", "--tstart", "3",
+            "--results_path", str(tmp_path / "r"), "--seed", "0",
+        ])
