@@ -26,6 +26,8 @@ def test_dryrun_multichip_self_provisions():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "OK: mesh=" in out.stdout, out.stdout[-500:]
+    # the sequence-parallel section must run on an 8-device mesh
+    assert "sp edit on mesh=" in out.stdout, out.stdout[-500:]
 
 
 def test_entry_compiles_single_device():
