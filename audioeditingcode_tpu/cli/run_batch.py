@@ -14,8 +14,11 @@ batch run unchanged.
 
 Mel families pad every clip's mel to the batch maximum (multiples of the
 VAE pad, zero-padded like the frontend's ``_pad_spec``) and crop each
-decode back to the clip's own length; Stable Audio clips share the model's
-fixed VAE window (reference models.py:1118-1134).
+decode back to the clip's own length — the UNet sees the pad region, so a
+short clip's batched edit is close to but not bit-identical with its
+``main_run.py`` edit. Stable Audio clips share the model's fixed VAE
+window (reference models.py:1118-1134) and each carries its OWN duration
+conditioning, exactly as per-clip runs would.
 """
 
 from __future__ import annotations
@@ -84,7 +87,26 @@ def _collect_files(paths):
     for f in paths:
         if not os.path.exists(f):
             raise FileNotFoundError(f"--init_aud: no such file: {f}")
+    # results land under basename(clip): two clips sharing a basename would
+    # silently overwrite each other's outputs (1 s filename timestamps)
+    seen = {}
+    for f in paths:
+        base = os.path.basename(f).split(".")[0]
+        if base in seen:
+            raise ValueError(
+                f"clips {seen[base]!r} and {f!r} share the results basename "
+                f"{base!r}; rename one (outputs would overwrite)"
+            )
+        seen[base] = f
     return list(paths)
+
+
+def _fit_len(wav: np.ndarray, n: int) -> np.ndarray:
+    """Crop or zero-pad the trailing sample axis to exactly n samples."""
+    if wav.shape[-1] >= n:
+        return wav[..., :n]
+    pad = [(0, 0)] * (wav.ndim - 1) + [(0, n - wav.shape[-1])]
+    return np.pad(wav, pad)
 
 
 def _save_clip(args, seed, clip_path, audio, x_dec, orig_audio, sr,
@@ -143,6 +165,17 @@ def main(argv=None):
                 "batch clips must share a channel count; got "
                 + ", ".join(f"{f}: {c.shape[0]}ch" for f, c in zip(files, clips))
             )
+        # duration conditioning is PER CLIP (run.py conditions each edit on
+        # its own clip duration): stack each clip's duration embeds/global
+        # token and vmap the edit over them alongside the latents
+        dur_embeds, glob_states = [], []
+        for dur in durations:
+            pipe.setup_duration(0.0, min(dur, max_s))
+            dur_embeds.append(pipe._duration_embeds)
+            glob_states.append(pipe._global_states)
+        dur_embeds = jnp.stack(dur_embeds)   # (N, 1, 2, D)
+        glob_states = jnp.stack(glob_states)  # (N, 1, 1, 2D)
+        # decode state covers the longest clip; outputs are host-cropped
         pipe.setup_duration(0.0, min(max(durations), max_s))
         T_pad = max(c.shape[-1] for c in clips)
         x0 = np.zeros((n_clip, clips[0].shape[0], T_pad), np.float32)
@@ -163,8 +196,7 @@ def main(argv=None):
         for i, m in enumerate(mels):
             x0[i, :, : m.shape[2]] = m[0]
         pipe = load_model(args.model_id, args.num_diffusion_steps,
-                          weights_dir=args.weights_dir, dtype=dtype,
-                          latent_time=T_pad // 4)
+                          weights_dir=args.weights_dir, dtype=dtype)
         mesh = maybe_shard_pipeline(pipe, args.dp, args.tp)
         sr = pipe.get_sr()
         w0 = pipe.vae_encode(jnp.asarray(x0))  # (N, C, T/4, M/4)
@@ -187,22 +219,33 @@ def main(argv=None):
     }
 
     @jax.jit
-    def edit_all(b, w0b, keys):
+    def edit_all(b, w0b, keys, durs, globs):
         """vmapped per-clip edit, clip axis sharded over 'dp'; single-clip
-        CFG/inversion semantics preserved exactly (run.py:221-256)."""
+        CFG/inversion semantics as in run.py:221-256 (Stable Audio clips
+        additionally carry their OWN duration conditioning; mel clips are
+        zero-padded to the batch maximum, so a short clip's UNet sees the
+        pad region — for bit-exact per-clip parity use main_run.py)."""
+        import dataclasses as _dc
+
         p = pipe.bind({**b["params"], "sched": b["sched"]})
-        fwd_den = p.make_denoiser(b["empty"], b["src"], b["cfg_src_t"])
-        rev_den = p.make_denoiser(b["uncond"], b["tgt"], b["cfg_tar_t"])
 
         if stable_audio:
-            def one(w0_clip, k):
+            def one(w0_clip, k, d, g):
+                pc = _dc.replace(p, _duration_embeds=d, _global_states=g)
+                fwd_den = pc.make_denoiser(b["empty"], b["src"], b["cfg_src_t"])
+                rev_den = pc.make_denoiser(b["uncond"], b["tgt"], b["cfg_tar_t"])
                 _, zs, xts, extras = inversion_forward_process(
                     p.sched, fwd_den, w0_clip, k, eta=args.eta,
                     numerical_fix=args.numerical_fix, return_extras=True)
                 return inversion_reverse_process(
                     p.sched, rev_den, xts, zs[:tstart], eta=args.eta,
                     init_history=extras[tstart - 1])
+
+            out = jax.vmap(one)(dp_constraint(w0b, mesh), keys, durs, globs)
         else:
+            fwd_den = p.make_denoiser(b["empty"], b["src"], b["cfg_src_t"])
+            rev_den = p.make_denoiser(b["uncond"], b["tgt"], b["cfg_tar_t"])
+
             def one(w0_clip, k):
                 _, zs, xts = inversion_forward_process(
                     p.sched, fwd_den, w0_clip, k, eta=args.eta,
@@ -210,11 +253,13 @@ def main(argv=None):
                 return inversion_reverse_process(p.sched, rev_den, xts,
                                                  zs[:tstart], eta=args.eta)
 
-        out = jax.vmap(one)(dp_constraint(w0b, mesh), keys)
+            out = jax.vmap(one)(dp_constraint(w0b, mesh), keys)
         return out[:, 0]  # (N, 1, ...) -> (N, ...)
 
     keys = jax.random.split(rng, n_clip)
-    w_edit = edit_all(bundle, w0[:, None], keys)
+    w_edit = edit_all(bundle, w0[:, None], keys,
+                      dur_embeds if stable_audio else None,
+                      glob_states if stable_audio else None)
 
     @jax.jit
     def decode(params, w):
@@ -231,14 +276,16 @@ def main(argv=None):
     outputs = []
     for i, f in enumerate(files):
         if stable_audio:
-            n = clips[i].shape[-1]  # crop to the clip's own length
-            a = audio[i][:, :n]
-            oa = orig_audio[i][:, :n]
+            # crop to the clip's own length; pad defensively in case the
+            # decode window truncated a sample (int(end_s * sr) round-trip)
+            n = clips[i].shape[-1]
+            a = _fit_len(audio[i], n)
+            oa = _fit_len(orig_audio[i], n)
             xd = None
         else:
             n = frames[i] * SAMPLES_PER_FRAME
-            a = audio[i].reshape(1, -1)[:, :n]
-            oa = orig_audio[i].reshape(1, -1)[:, :n]
+            a = _fit_len(audio[i].reshape(1, -1), n)
+            oa = _fit_len(orig_audio[i].reshape(1, -1), n)
             xd = x_dec[i][None, :, : frames[i]]  # (1, 1, T_i, M) for the PNG
         outputs.append(_save_clip(args, seed, f, a, xd, oa, sr,
                                   stable_audio, skip, durations[i]))

@@ -151,7 +151,15 @@ def _main_stable_audio(args, seed, rng):
     def decode(params, w):
         return pipe.bind(params).vae_decode(w)
 
-    audio = np.asarray(decode(pipe.params_dict(), w_edit))  # (N, 2, win)
+    audio = np.asarray(decode(pipe.params_dict(), w_edit))  # (N, 2, ~win)
+    if audio.shape[-1] != win:
+        # int(win/sr * sr) in the decode crop can lose a sample to float
+        # round-trip; realign so every window overlays at its exact start
+        if audio.shape[-1] > win:
+            audio = audio[..., :win]
+        else:
+            audio = np.pad(audio, [(0, 0)] * (audio.ndim - 1)
+                           + [(0, win - audio.shape[-1])])
     stitched = overlap_add(audio.astype(np.float32), starts, T_samp)
 
     save_path = os.path.join(
