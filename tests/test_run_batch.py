@@ -128,3 +128,30 @@ def test_batch_edit_mixed_channels_rejected(tmp_path):
             "--num_diffusion_steps", "4", "--tstart", "3",
             "--results_path", str(tmp_path / "r"), "--seed", "0",
         ])
+
+
+def test_batch_results_feed_the_eval_tower(tmp_path):
+    """A run_batch results tree scores through calc_scores unchanged: the
+    dir layout and filename regex match main_run.py's, so every clip's
+    record parses with its config (the module-docstring claim, proven)."""
+    from audioeditingcode_tpu.evals import MelStageExtractor, calc_scores
+
+    sr = 16000
+    d = str(tmp_path / "clips")
+    _write_clips(d, sr, [sr, sr], [220, 330])
+
+    main([
+        "--model_id", "test/tiny-audioldm", "--init_aud", d,
+        "--target_prompt", "a trumpet", "--source_prompt", "a piano",
+        "--num_diffusion_steps", "4", "--tstart", "3",
+        "--results_path", str(tmp_path / "r"), "--seed", "0",
+    ])
+
+    model_root = os.path.join(str(tmp_path / "r"), "tiny-audioldm")
+    state = calc_scores(MelStageExtractor(), ours_dirs=[model_root],
+                        prev_pt=str(tmp_path / "scores.json"), verbose=False)
+    assert len(state.records) == 2
+    for rec in state.records.values():
+        assert rec.target_prompt == "a trumpet"
+        assert rec.skip == 1 and rec.tarcfg == 12.0
+        assert rec.clap is not None and rec.lpaps is not None
