@@ -17,19 +17,25 @@ from typing import List, Optional
 import numpy as np
 
 
-def set_reproducibility(seed: Optional[int]):
-    """Seed host RNGs; returns the JAX PRNG seed to use (random if None).
-
-    Also enables the persistent compilation cache (utils/jax_setup.py), and
-    honors AEC_PLATFORM=cpu|tpu: the ambient JAX_PLATFORMS env var is
-    overridden by preloaded TPU plugins (axon), so CPU smoke runs need an
+def apply_platform_override() -> None:
+    """Honor AEC_PLATFORM=cpu|tpu: the ambient JAX_PLATFORMS env var is
+    overridden by preloaded TPU plugins (axon), so CPU runs need an
     in-process config update — which must land before ANY backend
-    initialization, hence here, ahead of the cache setup."""
+    initialization. Every CLI entry point calls this first."""
     platform = os.environ.get("AEC_PLATFORM")
     if platform:
         import jax
 
         jax.config.update("jax_platforms", platform)
+
+
+def set_reproducibility(seed: Optional[int]):
+    """Seed host RNGs; returns the JAX PRNG seed to use (random if None).
+
+    Also applies the AEC_PLATFORM override (see apply_platform_override —
+    must precede the cache setup and any backend touch) and enables the
+    persistent compilation cache (utils/jax_setup.py)."""
+    apply_platform_override()
 
     from ..utils.jax_setup import enable_compilation_cache
 

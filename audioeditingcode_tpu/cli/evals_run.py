@@ -41,6 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # evaluation is offline work: honor AEC_PLATFORM=cpu before any backend
+    # touch (without this the preloaded TPU plugin wins and a CPU-side
+    # scoring run silently compiles through the remote tunnel)
+    from .common import apply_platform_override
+
+    apply_platform_override()
     from ..evals import FADScorer, calc_scores, combine_scores
     from ..evals.features import default_extractor
 
