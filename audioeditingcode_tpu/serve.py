@@ -251,6 +251,9 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8080)
     args = p.parse_args(argv)
 
+    from .cli.common import apply_platform_override
+
+    apply_platform_override()
     service = EditService(args.model_id, args.num_diffusion_steps,
                           args.weights_dir, args.dtype)
     server = make_server(service, args.host, args.port)

@@ -419,6 +419,11 @@ def main(argv=None):
                    help="local checkpoint dir (diffusers pipeline layout)")
     p.add_argument("--out", required=True, help="output weights_dir")
     args = p.parse_args(argv)
+    # conversion is host-side tensor surgery: honor AEC_PLATFORM=cpu so it
+    # never waits on a remote TPU backend
+    from audioeditingcode_tpu.cli.common import apply_platform_override
+
+    apply_platform_override()
     convert(args.model_id, args.src, args.out)
 
 
