@@ -8,43 +8,64 @@ two-scan edit program. Mel families run the 10 s clip latent (1, 8, 256, 16)
 at 200+100 steps; Stable Audio runs its fixed (1, 64, 1024) stereo latent at
 100+50 steps (reference CLI defaults, code/main_run.py:41-43).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "detail"}:
+Robustness contract (the driver records the LAST JSON line of the tail):
+  - families run HEADLINE-FIRST, each in a FRESH SUBPROCESS (the axon
+    tunnel endpoint rotates; long-lived processes lose it — PERF_NOTES.md);
+  - a failed/timed-out family is retried in another fresh process;
+  - the cumulative result JSON line is (re)printed after EVERY family, so
+    a mid-run driver kill still captures everything completed so far;
+  - BENCH_BUDGET_S bounds total wall time: no new family is launched when
+    the remaining budget can't plausibly fit one.
+
+Prints JSON lines {"metric", "value", "unit", "vs_baseline", "detail"}:
 the headline value is the reference CLIs' default model
-(cvssp/audioldm2-music); detail.families carries one entry per family so
-the driver artifact records the full table.
+(cvssp/audioldm2-music); detail.families carries one entry per completed
+family so the driver artifact records the full table.
 
 Env overrides:
-  BENCH_MODELS  comma list of model ids, or "all" (default: all 5 families)
-  BENCH_MODEL   legacy single-model override (implies BENCH_MODELS=<it>)
-  BENCH_DTYPE   bfloat16|float32 (default bfloat16)
-  BENCH_STEPS   mel-family diffusion steps (default 200)
+  BENCH_MODELS   comma list of model ids, or "all" (default: all 5 families)
+  BENCH_MODEL    legacy single-model override (implies BENCH_MODELS=<it>)
+  BENCH_DTYPE    bfloat16|float32 (default bfloat16)
+  BENCH_STEPS    mel-family diffusion steps (default 200)
   BENCH_SA_STEPS stable-audio diffusion steps (default 100)
+  BENCH_BUDGET_S total wall-clock budget in seconds (default 1500)
+  BENCH_CHILD    (internal) single family spec; run it inline, print one row
+  BENCH_FAKE     (tests only) skip JAX, emit synthetic rows
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-import numpy as np
-
+# Headline-first (VERDICT r2 #1a): the most important number must land
+# before any tunnel flakiness or driver timeout can kill the run.
 FAMILIES = [
+    "cvssp/audioldm2-music",
+    "stabilityai/stable-audio-open-1.0",
+    "stabilityai/stable-audio-open-1.0:empty_src",
     "cvssp/audioldm-s-full-v2",
     "cvssp/audioldm-l-full",
-    "cvssp/audioldm2-music",
     "declare-lab/tango-full-ft-audiocaps",
-    "stabilityai/stable-audio-open-1.0",
 ]
 HEADLINE = "cvssp/audioldm2-music"
 BASELINE = 40.0  # BASELINE.json north star: >=40 UNet steps/sec/chip
 N_REP = 3
 PROMPT = "a jazzy saxophone solo"
 
+# Orchestration knobs. A cold-cache family compile through the tunnel takes
+# up to ~10 min; warm-cache ~1-3 min. The per-child cap must cover cold.
+CHILD_TIMEOUT_S = float(os.environ.get("BENCH_CHILD_TIMEOUT_S", "900"))
+MIN_LAUNCH_BUDGET_S = 150  # don't start a family with less than this left
+RETRY_SLEEP_S = float(os.environ.get("BENCH_RETRY_SLEEP_S", "15"))
+
 
 def _timed_reps(edit, bundle, w0):
     """Compile + N_REP timed executions; np.asarray per rep forces a real
     device->host read (axon block_until_ready can return early)."""
     import jax
+    import numpy as np
 
     rng = jax.random.PRNGKey(1)
     np.asarray(edit(bundle, w0, rng))  # warmup/compile
@@ -168,49 +189,48 @@ def _row(model_id, dtype_s, unet_steps, dt, latent) -> dict:
     }
 
 
-def main():
+def run_family(spec: str) -> dict:
+    """Run one family spec inline and return its row.
+
+    spec is a model id, optionally suffixed ":empty_src" for the Stable
+    Audio editing-typical configuration."""
+    if os.environ.get("BENCH_FAKE"):
+        # Test-only plumbing path: no JAX, deterministic synthetic row.
+        fail_specs = [s for s in os.environ.get(
+            "BENCH_FAKE_FAIL", "").split(",") if s]
+        if spec in fail_specs:
+            raise RuntimeError(f"synthetic failure for {spec}")
+        val = float(os.environ.get("BENCH_FAKE_VALUE", "50.0"))
+        return {"model": spec.split(":")[0],
+                "steps_per_sec_per_chip": val,
+                "vs_baseline": round(val / BASELINE, 3),
+                "dtype": os.environ.get("BENCH_DTYPE", "bfloat16"),
+                "edit_wallclock_s": 0.0, "unet_steps_per_edit": 0,
+                "chips": 1, "latent": [],
+                **({"config": "empty_src_batch1_fwd"}
+                   if spec.endswith(":empty_src") else {})}
+
     from audioeditingcode_tpu.utils.jax_setup import enable_compilation_cache
 
     enable_compilation_cache()
-
     dtype_s = os.environ.get("BENCH_DTYPE", "bfloat16")
     steps = int(os.environ.get("BENCH_STEPS", "200"))
     sa_steps = int(os.environ.get("BENCH_SA_STEPS", "100"))
 
-    models_env = os.environ.get("BENCH_MODEL") or os.environ.get(
-        "BENCH_MODELS", "all")
-    models = FAMILIES if models_env == "all" else [
-        m.strip() for m in models_env.split(",") if m.strip()]
+    model_id, _, variant = spec.partition(":")
+    if "stable-audio" in model_id:
+        return bench_stable_audio(model_id, sa_steps, dtype_s,
+                                  empty_src=(variant == "empty_src"))
+    return bench_mel(model_id, steps, dtype_s)
 
-    rows = []
-    for model_id in models:
-        t0 = time.perf_counter()
-        if "stable-audio" in model_id:
-            row = bench_stable_audio(model_id, sa_steps, dtype_s)
-        else:
-            row = bench_mel(model_id, steps, dtype_s)
-        print(f"[bench] {model_id}: {row['steps_per_sec_per_chip']} steps/s/chip "
-              f"({time.perf_counter() - t0:.0f}s incl. load/compile)",
-              file=sys.stderr)
-        rows.append(row)
-        if "stable-audio" in model_id:
-            # editing-typical config: empty source prompt -> exact batch-1
-            # uncond inversion (see bench_stable_audio docstring)
-            t0 = time.perf_counter()
-            row = bench_stable_audio(model_id, sa_steps, dtype_s, empty_src=True)
-            print(f"[bench] {model_id} (empty src): "
-                  f"{row['steps_per_sec_per_chip']} steps/s/chip "
-                  f"({time.perf_counter() - t0:.0f}s incl. compile)",
-                  file=sys.stderr)
-            rows.append(row)
 
-    head = next((r for r in rows if r["model"] == HEADLINE), rows[0])
-    print(json.dumps({
-        "metric": "unet_steps_per_sec_per_chip",
-        "value": head["steps_per_sec_per_chip"],
-        "unit": "steps/s/chip",
-        "vs_baseline": head["vs_baseline"],
-        "detail": {
+def _result_line(rows: list, note: str = "") -> str:
+    """Cumulative result JSON for the driver; headline row if present."""
+    if rows:
+        head = next((r for r in rows if r["model"] == HEADLINE
+                     and "config" not in r), rows[0])
+        value, vs = head["steps_per_sec_per_chip"], head["vs_baseline"]
+        detail = {
             "model": head["model"],
             "dtype": head["dtype"],
             "edit_wallclock_s": head["edit_wallclock_s"],
@@ -218,8 +238,112 @@ def main():
             "chips": head["chips"],
             "latent": head["latent"],
             "families": rows,
-        },
-    }))
+        }
+    else:
+        value, vs = 0.0, 0.0
+        detail = {"families": []}
+    if note:
+        detail["note"] = note
+    return json.dumps({
+        "metric": "unet_steps_per_sec_per_chip",
+        "value": value,
+        "unit": "steps/s/chip",
+        "vs_baseline": vs,
+        "detail": detail,
+    })
+
+
+def _launch_child(spec: str, timeout_s: float):
+    """Run one family in a fresh subprocess; return (row|None, err_note)."""
+    env = dict(os.environ, BENCH_CHILD=spec)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, stdout=subprocess.PIPE, stderr=None,
+            timeout=timeout_s, text=True)
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {int(timeout_s)}s"
+    if proc.returncode != 0:
+        return None, f"rc={proc.returncode}"
+    for line in reversed(proc.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line), ""
+            except json.JSONDecodeError:
+                continue
+    return None, "no row in child output"
+
+
+def orchestrate() -> int:
+    t_start = time.monotonic()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+    models_env = os.environ.get("BENCH_MODEL") or os.environ.get(
+        "BENCH_MODELS", "all")
+    if models_env == "all":
+        specs = list(FAMILIES)
+    else:
+        wanted = [m.strip() for m in models_env.split(",") if m.strip()]
+        # preserve headline-first ordering; accept bare stable-audio id as
+        # covering both of its configs
+        specs = [s for s in FAMILIES
+                 if s in wanted or s.split(":")[0] in wanted]
+        specs += [w for w in wanted if w not in specs
+                  and w not in [s.split(":")[0] for s in specs]]
+
+    rows, skipped = [], []
+    for i, spec in enumerate(specs):
+        remaining = budget - (time.monotonic() - t_start)
+        if remaining < MIN_LAUNCH_BUDGET_S and rows:
+            skipped = specs[i:]
+            break
+        attempts = 3 if spec.split(":")[0] == HEADLINE else 2
+        row, errs = None, []
+        for attempt in range(attempts):
+            remaining = budget - (time.monotonic() - t_start)
+            if remaining <= 30 and rows:
+                errs.append("budget exhausted")
+                break
+            timeout_s = min(CHILD_TIMEOUT_S, max(remaining, 60))
+            row, err = _launch_child(spec, timeout_s)
+            if row is not None:
+                break
+            errs.append(err)
+            print(f"[bench] {spec} attempt {attempt + 1}/{attempts} "
+                  f"failed ({err})", file=sys.stderr)
+            if attempt + 1 < attempts:
+                time.sleep(RETRY_SLEEP_S)
+        if row is not None:
+            rows.append(row)
+            print(f"[bench] {spec}: {row['steps_per_sec_per_chip']} "
+                  f"steps/s/chip", file=sys.stderr)
+        else:
+            skipped.append(f"{spec} ({'; '.join(errs)})")
+        # Stream the cumulative line after EVERY family so a driver kill
+        # mid-run still records everything completed so far.
+        note = f"incomplete: {', '.join(skipped)}" if skipped else ""
+        print(_result_line(rows, note), flush=True)
+
+    if not rows:
+        print(_result_line([], "all families failed: "
+                           + ", ".join(skipped)), flush=True)
+        return 1
+    return 0
+
+
+def main():
+    child_spec = os.environ.get("BENCH_CHILD")
+    if child_spec:
+        t0 = time.perf_counter()
+        row = run_family(child_spec)
+        print(f"[bench-child] {child_spec}: "
+              f"{row['steps_per_sec_per_chip']} steps/s/chip "
+              f"({time.perf_counter() - t0:.0f}s incl. load/compile)",
+              file=sys.stderr)
+        print(json.dumps(row), flush=True)
+        return
+    sys.exit(orchestrate())
 
 
 if __name__ == "__main__":

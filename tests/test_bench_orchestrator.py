@@ -1,0 +1,102 @@
+"""bench.py orchestrator plumbing tests (VERDICT r2 #1).
+
+The driver records the LAST JSON line of bench.py's output, so the
+orchestrator must (a) run families headline-first in fresh subprocesses,
+(b) re-print the cumulative result line after EVERY family, (c) retry a
+failed family, and (d) never let one family's failure kill the run.
+
+These tests drive the orchestration path with BENCH_FAKE=1 (synthetic rows,
+no JAX import) so they exercise the subprocess/retry/streaming logic in
+milliseconds; the measurement path itself is covered by the driver's real
+TPU run.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+BENCH = os.path.join(os.path.dirname(__file__), os.pardir, "bench.py")
+
+
+def _run(env_extra, timeout=120):
+    env = {k: v for k, v in os.environ.items() if not k.startswith("BENCH_")}
+    env.update({"BENCH_FAKE": "1", "BENCH_RETRY_SLEEP_S": "0"})
+    env.update(env_extra)
+    return subprocess.run(
+        [sys.executable, BENCH], env=env, timeout=timeout,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+
+
+def _json_lines(stdout):
+    out = []
+    for line in stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            out.append(json.loads(line))
+    return out
+
+
+def test_streams_cumulative_line_per_family_headline_first():
+    proc = _run({})
+    assert proc.returncode == 0, proc.stderr
+    lines = _json_lines(proc.stdout)
+    # one cumulative line per family spec (6 specs)
+    assert len(lines) == 6
+    # the FIRST line already carries the headline family — a driver kill
+    # after family 1 still records the most important number
+    first = lines[0]
+    assert first["detail"]["families"][0]["model"] == "cvssp/audioldm2-music"
+    assert first["value"] > 0
+    last = lines[-1]
+    assert len(last["detail"]["families"]) == 6
+    assert last["metric"] == "unet_steps_per_sec_per_chip"
+    assert "note" not in last["detail"]
+
+
+def test_failed_family_is_retried_then_skipped_without_killing_run():
+    proc = _run({
+        "BENCH_MODELS": "cvssp/audioldm2-music,declare-lab/tango-full-ft-audiocaps",
+        "BENCH_FAKE_FAIL": "declare-lab/tango-full-ft-audiocaps",
+    })
+    assert proc.returncode == 0, proc.stderr
+    last = _json_lines(proc.stdout)[-1]
+    models = [r["model"] for r in last["detail"]["families"]]
+    assert models == ["cvssp/audioldm2-music"]
+    assert "tango" in last["detail"]["note"]
+    # non-headline families get 2 attempts
+    assert proc.stderr.count("tango-full-ft-audiocaps attempt") == 2
+
+
+def test_headline_failure_falls_back_to_first_completed_row():
+    proc = _run({
+        "BENCH_MODELS": "cvssp/audioldm2-music,cvssp/audioldm-s-full-v2",
+        "BENCH_FAKE_FAIL": "cvssp/audioldm2-music",
+    })
+    assert proc.returncode == 0, proc.stderr
+    last = _json_lines(proc.stdout)[-1]
+    assert last["value"] > 0  # falls back to rows[0]
+    assert "audioldm2-music" in last["detail"]["note"]
+    # headline gets an extra (3rd) attempt
+    assert proc.stderr.count("audioldm2-music attempt") == 3
+
+
+def test_all_failed_still_prints_parseable_line():
+    proc = _run({
+        "BENCH_MODELS": "cvssp/audioldm-s-full-v2",
+        "BENCH_FAKE_FAIL": "cvssp/audioldm-s-full-v2",
+    })
+    assert proc.returncode == 1
+    last = _json_lines(proc.stdout)[-1]
+    assert last["value"] == 0.0
+    assert "all families failed" in last["detail"]["note"]
+
+
+def test_models_env_filters_and_keeps_both_stable_audio_configs():
+    proc = _run({"BENCH_MODELS": "stabilityai/stable-audio-open-1.0"})
+    assert proc.returncode == 0, proc.stderr
+    last = _json_lines(proc.stdout)[-1]
+    fams = last["detail"]["families"]
+    assert len(fams) == 2
+    assert fams[0].get("config") is None
+    assert fams[1]["config"] == "empty_src_batch1_fwd"
