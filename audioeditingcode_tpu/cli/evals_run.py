@@ -17,6 +17,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="result roots at the <model> level (cli/run.py layout)")
     p.add_argument("--sdedit_dirs", type=str, nargs="*", default=[])
     p.add_argument("--ddim_dirs", type=str, nargs="*", default=[])
+    p.add_argument("--musicgen_dirs", type=str, nargs="*", default=[],
+                   help="MusicGen baseline roots: <root>/<input>/"
+                        "prompt_<target prompt>.wav (reference "
+                        "evals/utils.py:211-216)")
+    p.add_argument("--musicgen_large_dirs", type=str, nargs="*", default=[],
+                   help="MusicGen-large baseline roots (same layout)")
     p.add_argument("--inputs_orig", type=str, default=None,
                    help="directory of original input wavs (else sibling orig.wav)")
     p.add_argument("--fad_gen_dir", type=str, default=None,
@@ -63,12 +69,15 @@ def main(argv=None):
     os.makedirs(args.out_dir, exist_ok=True)
     outputs = []
 
-    if args.ours_dirs or args.sdedit_dirs or args.ddim_dirs:
+    if (args.ours_dirs or args.sdedit_dirs or args.ddim_dirs
+            or args.musicgen_dirs or args.musicgen_large_dirs):
         state = calc_scores(
             extractor,
             ours_dirs=args.ours_dirs,
             sdedit_dirs=args.sdedit_dirs,
             ddim_dirs=args.ddim_dirs,
+            musicgen_dirs=args.musicgen_dirs,
+            musicgen_large_dirs=args.musicgen_large_dirs,
             inputs_orig=args.inputs_orig,
             prev_pt=args.prev_pt,
             win_length=args.win_length,

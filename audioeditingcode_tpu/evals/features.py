@@ -59,6 +59,14 @@ class MelStageExtractor:
         if aud.shape[0] > 1:
             aud = aud.mean(axis=0, keepdims=True)
         aud = resample(aud, sr, self.sample_rate)
+        # CLAP's processor pads/truncates every input to a fixed 10 s
+        # window, so stage features are length-independent; mirror that so
+        # LPAPS between different-length clips is well-defined here too.
+        n = 10 * self.sample_rate
+        if aud.shape[-1] < n:
+            aud = np.pad(aud, ((0, 0), (0, n - aud.shape[-1])))
+        else:
+            aud = aud[..., :n]
         log_mel, _, _ = mel_spectrogram(jnp.asarray(aud), self.config)
         return np.asarray(log_mel)  # (1, n_mels, T)
 

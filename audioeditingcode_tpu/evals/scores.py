@@ -101,6 +101,24 @@ def _iter_ours(ours_root: str):
                     )
 
 
+def _iter_musicgen(root: str):
+    """MusicGen baseline lane (reference: evals/utils.py:211-216, 340-361):
+    ``<root>/<audio_input>/prompt_<target prompt>.wav`` — one flat
+    generation per (input, target prompt), no skip/cfg dimensions. The
+    reference keys files by ``x[7:-4]`` (strip a 7-char prefix + '.wav',
+    prompt kept verbatim with spaces); mirrored exactly here."""
+    for audio_input in sorted(os.listdir(root)):
+        inp_dir = os.path.join(root, audio_input)
+        if not os.path.isdir(inp_dir):
+            continue
+        for f in sorted(os.listdir(inp_dir)):
+            if not f.endswith(".wav") or f.startswith("orig"):
+                continue
+            tar = f[7:-4]
+            yield (audio_input, "", tar, None, None, None,
+                   os.path.join(inp_dir, f))
+
+
 def _iter_sdedit(root: str):
     for audio_input in sorted(os.listdir(root)):
         inp_dir = os.path.join(root, audio_input)
@@ -126,6 +144,8 @@ def calc_scores(
     ours_dirs: Optional[List[str]] = None,
     sdedit_dirs: Optional[List[str]] = None,
     ddim_dirs: Optional[List[str]] = None,
+    musicgen_dirs: Optional[List[str]] = None,
+    musicgen_large_dirs: Optional[List[str]] = None,
     inputs_orig: Optional[str] = None,
     prev_pt: Optional[str] = None,
     win_length: Optional[float] = None,
@@ -189,6 +209,12 @@ def calc_scores(
         process("ddim", _iter_ours(root))
     for root in (sdedit_dirs or []):
         process("sdedit", _iter_sdedit(root))
+    # MusicGen / MusicGen-large baseline lanes (reference CombinedRes
+    # includes both — evals/utils.py:14-20, 123-138)
+    for root in (musicgen_dirs or []):
+        process("musicgen", _iter_musicgen(root))
+    for root in (musicgen_large_dirs or []):
+        process("musicgen_large", _iter_musicgen(root))
     if prev_pt:
         state.save(prev_pt)
     return state

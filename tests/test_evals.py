@@ -190,6 +190,47 @@ class TestOrchestration:
         dfs = combine_scores(state)
         assert "ours" in dfs and len(dfs["ours"]) == 1
 
+    def test_musicgen_lanes(self, ext, tmp_path):
+        """MusicGen / MusicGen-large baseline lanes (reference
+        evals/utils.py:211-216, 340-361): flat <root>/<input>/
+        prompt_<target>.wav per prompt; scored with CLAP vs target and
+        LPAPS vs the original input, and emitted as their own tables."""
+        from scipy.io import wavfile
+
+        ours_root = self._make_results(tmp_path)
+        orig_dir = tmp_path / "inputs"
+        orig_dir.mkdir()
+        wavfile.write(orig_dir / "clip.wav", 16000,
+                      (tone(445, 11.0)[0] * 32767).astype(np.int16))
+        for name, freq in (("musicgen", 440), ("musicgen_large", 442)):
+            mg = tmp_path / name / "clip"
+            mg.mkdir(parents=True)
+            wavfile.write(mg / "prompt_a trumpet.wav", 16000,
+                          (tone(freq, 11.0)[0] * 32767).astype(np.int16))
+        state = calc_scores(
+            ext, ours_dirs=[str(ours_root)],
+            musicgen_dirs=[str(tmp_path / "musicgen")],
+            musicgen_large_dirs=[str(tmp_path / "musicgen_large")],
+            inputs_orig=str(orig_dir), verbose=False)
+        dfs = combine_scores(state)
+        assert set(dfs) == {"ours", "musicgen", "musicgen_large"}
+        for lane in ("musicgen", "musicgen_large"):
+            row = dfs[lane].iloc[0]
+            # the reference keys musicgen files by filename[7:-4] — prompt
+            # kept verbatim — and scores once per (input, prompt)
+            assert row["target_prompt"] == "a trumpet"
+            assert row["audio_input"] == "clip"
+            assert row["clap"] is not None and row["lpaps"] is not None
+            assert np.isnan(row["skip"])  # no skip/cfg dims on baselines
+
+    def test_eval_cli_has_musicgen_flags(self):
+        from audioeditingcode_tpu.cli.evals_run import build_parser
+
+        args = build_parser().parse_args(
+            ["--musicgen_dirs", "/a", "--musicgen_large_dirs", "/b"])
+        assert args.musicgen_dirs == ["/a"]
+        assert args.musicgen_large_dirs == ["/b"]
+
 
 class TestTradeoffTables:
     def test_supervised_table(self):
