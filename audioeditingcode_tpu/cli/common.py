@@ -207,10 +207,13 @@ def log_pc_corrs(wandb, corrs, in_corrs, eigvals, n_evs: int) -> None:
             wandb.log({f"in_corr_{ev}": wandb.plot.line(
                 table, "iter", "corr",
                 title=f"Subspace iteration correlations #PC {ev}")})
-        if eigvals.size:
-            for it in range(eigvals.shape[0]):
-                wandb.log({f"eigval_{ev}": float(eigvals[it, ev])}, step=it,
-                          commit=ev == n_evs - 1)
+    # One wandb.log per iteration carrying ALL evs' eigenvalues: wandb drops
+    # log calls whose step goes backwards, so per-ev inner loops over `it`
+    # would silently discard every ev's history after the first.
+    if eigvals.size:
+        for it in range(eigvals.shape[0]):
+            wandb.log({f"eigval_{ev}": float(eigvals[it, ev])
+                       for ev in range(n_evs)}, step=it)
     if corrs.size:
         fig1, _ = plot_corrs(corrs, in_corrs, n_evs)
         wandb.log({"pc_corrs": wandb.Image(fig1)})

@@ -76,6 +76,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wandb_disable", action="store_true", default=True)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of the edit into this dir")
+    p.add_argument("--selfcheck", action="store_true", default=False,
+                   help="reconstruction self-test: invert, then reverse with "
+                        "the SOURCE prompt/cfg (instead of the target) and "
+                        "report the latent reconstruction SNR — the "
+                        "reference's commented-out consistency checks "
+                        "(inversion_utils.py:127,305) made first-class. "
+                        "'ours' mode reconstructs near-exactly (>=40 dB); "
+                        "DDIM inversion is approximate.")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel ways over the device mesh")
     p.add_argument("--dp", type=int, default=1,
@@ -208,7 +216,8 @@ def main(argv=None):
         def ddim_edit(params, w0):
             p = pipe.bind(params)
             fwd_den = p.make_denoiser(empty, src, cfg_src_t)
-            rev_den = p.make_denoiser(empty, tgt, cfg_tar_t)
+            rev_den = (fwd_den if args.selfcheck
+                       else p.make_denoiser(empty, tgt, cfg_tar_t))
             wT = ddim_inversion_loop(p.sched, fwd_den, w0, skip=int(skip[0]))
             return ddim_generation_loop(p.sched, rev_den, wT, skip=int(skip[0]))
 
@@ -240,31 +249,45 @@ def main(argv=None):
             def edit(b, w0, rng):
                 p = pipe.bind({**b["params"], "sched": b["sched"]})
                 fwd_den = p.make_denoiser(b["empty"], b["src"], b["cfg_src_t"])
-                rev_den = p.make_denoiser(b["uncond"], b["tgt"], b["cfg_tar_t"])
+                rev_den = (fwd_den if args.selfcheck else
+                           p.make_denoiser(b["uncond"], b["tgt"], b["cfg_tar_t"]))
                 _, zs, xts, extras = inversion_forward_process(
                     p.sched, fwd_den, w0, rng, eta=args.eta,
                     numerical_fix=args.numerical_fix, return_extras=True,
+                    # selfcheck measures the numerics, so keep zs[0]: the
+                    # reference's z_0 zeroing is an editing convention that
+                    # injects a known final-step variance error
+                    zero_first=not args.selfcheck,
                 )
-                return inversion_reverse_process(
+                out = inversion_reverse_process(
                     p.sched, rev_den, xts, zs[:T], eta=args.eta,
                     tstart=b["tstart"], fix_alpha=args.fix_alpha,
                     masks=b["masks"], init_history=extras[T - 1],
                 )
+                # selfcheck target is xts[0]: the solver's final step ignores
+                # z (final_sigmas_type='zero'), so the exact-reconstruction
+                # property lands on the recorded trajectory start
+                return (out, xts[0]) if args.selfcheck else out
         else:
             @jax.jit
             def edit(b, w0, rng):
                 p = pipe.bind({**b["params"], "sched": b["sched"]})
                 fwd_den = p.make_denoiser(b["empty"], b["src"], b["cfg_src_t"])
-                rev_den = p.make_denoiser(b["uncond"], b["tgt"], b["cfg_tar_t"])
+                rev_den = (fwd_den if args.selfcheck else
+                           p.make_denoiser(b["uncond"], b["tgt"], b["cfg_tar_t"]))
                 _, zs, xts = inversion_forward_process(
                     p.sched, fwd_den, w0, rng, eta=args.eta,
                     numerical_fix=args.numerical_fix,
+                    zero_first=not args.selfcheck,
                 )
-                return inversion_reverse_process(
+                out = inversion_reverse_process(
                     p.sched, rev_den, xts, zs[:T], eta=args.eta,
                     tstart=b["tstart"], fix_alpha=args.fix_alpha,
                     masks=b["masks"],
                 )
+                # xts[0] == w0 up to the numerical-fix re-projection here;
+                # using it keeps the selfcheck target uniform across families
+                return (out, xts[0]) if args.selfcheck else out
 
         from ..utils.profiling import PhaseTimer, trace
 
@@ -273,6 +296,8 @@ def main(argv=None):
         with trace(args.profile_dir), timer.phase("edit", steps=n_steps):
             w_edit = jax.block_until_ready(edit(bundle, w0, rng))
         timer.report()
+        if args.selfcheck:
+            w_edit, recon_ref = w_edit
 
     # decode + vocode: ONE jitted graph (BASELINE: fused decode path),
     # params threaded as arguments
@@ -286,12 +311,34 @@ def main(argv=None):
     audio = np.asarray(audio)
     orig_audio = np.asarray(pipe.decode_to_mel(x0))
 
+    selfcheck_snr = None
+    if args.selfcheck:
+        # Reconstruction SNR in latent space: 'ours'-mode inversion is exact
+        # by construction (zs are the recorded residuals), so with the same
+        # source conditioning on the reverse pass w_edit must reproduce the
+        # recorded trajectory start xts[0] up to float error (>=40 dB); DDIM
+        # inversion is first-order approximate and lands far lower. A
+        # collapsed SNR on a real-weight run means the weights/converter/
+        # schedule disagree somewhere.
+        ref = np.asarray(w0 if args.mode == "ddim" else recon_ref, np.float64)
+        err = np.asarray(w_edit, np.float64) - ref
+        sig = float(np.mean(np.square(ref)))
+        selfcheck_snr = float(10.0 * np.log10(sig / max(float(np.mean(
+            np.square(err))), 1e-30)))
+        verdict = ("PASS" if selfcheck_snr >= 40.0 else "WEAK"
+                   ) if args.mode == "ours" else "ddim-approx"
+        print(f"[selfcheck] latent reconstruction SNR: "
+              f"{selfcheck_snr:.1f} dB ({verdict})")
+
     save_path = edit_save_path(args.results_path, args.model_id, args.init_aud,
                                args.source_prompt, args.target_prompt,
                                args.target_neg_prompt)
     os.makedirs(save_path, exist_ok=True)
     name = edit_image_name(args.mode, args.cfg_src, args.cfg_tar, skip,
                            args.num_diffusion_steps)
+    if args.selfcheck:
+        # keep reconstruction artifacts out of the eval regexes' way
+        name = "selfcheck_" + name
 
     if audio.ndim == 3:  # stable-audio waveform (B, C, T)
         audio = audio[0]
@@ -301,7 +348,8 @@ def main(argv=None):
         save_spectrogram_png(os.path.join(save_path, name + ".png"), np.asarray(x_dec))
     write_wav(os.path.join(save_path, name + ".wav"), audio, sr)
     write_wav(os.path.join(save_path, "orig.wav"), orig_audio, sr)
-    dump_run_summary(save_path, args, {"seed": seed, "duration": duration})
+    dump_run_summary(save_path, args, {"seed": seed, "duration": duration,
+                                       "selfcheck_snr_db": selfcheck_snr})
     print(f"[+] saved {os.path.join(save_path, name + '.wav')}")
 
     # wandb artifacts (reference: main_run.py:226-231 — orig/gen audio +

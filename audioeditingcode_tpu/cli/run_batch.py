@@ -83,22 +83,24 @@ def _collect_files(paths):
         files = sorted(glob.glob(os.path.join(paths[0], "*.wav")))
         if not files:
             raise FileNotFoundError(f"no .wav files in {paths[0]}")
-        return files
-    for f in paths:
-        if not os.path.exists(f):
-            raise FileNotFoundError(f"--init_aud: no such file: {f}")
+    else:
+        for f in paths:
+            if not os.path.exists(f):
+                raise FileNotFoundError(f"--init_aud: no such file: {f}")
+        files = list(paths)
     # results land under basename(clip): two clips sharing a basename would
-    # silently overwrite each other's outputs (1 s filename timestamps)
+    # silently overwrite each other's outputs (1 s filename timestamps).
+    # Applies to the directory glob too: 'a.wav' and 'a.b.wav' collide.
     seen = {}
-    for f in paths:
-        base = os.path.basename(f).split(".")[0]
+    for f in files:
+        base = os.path.splitext(os.path.basename(f))[0]
         if base in seen:
             raise ValueError(
                 f"clips {seen[base]!r} and {f!r} share the results basename "
                 f"{base!r}; rename one (outputs would overwrite)"
             )
         seen[base] = f
-    return list(paths)
+    return files
 
 
 def _fit_len(wav: np.ndarray, n: int) -> np.ndarray:

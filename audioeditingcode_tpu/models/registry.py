@@ -79,7 +79,19 @@ def _load_or_init(module, rng, init_args, weights_dir, name):
         path = os.path.join(weights_dir, f"{name}.msgpack")
         if os.path.exists(path):
             with open(path, "rb") as f:
-                params = serialization.from_bytes(params, f.read())
+                try:
+                    params = serialization.from_bytes(params, f.read())
+                except (ValueError, KeyError) as e:
+                    # Structure mismatch — most likely a checkpoint converted
+                    # before a module re-layout (e.g. the round-2 AudioLDM2
+                    # per-stream Transformer2DModel change, PARITY.md).
+                    raise ValueError(
+                        f"{path} does not match the current {name!r} module "
+                        f"structure. If it was converted with an older "
+                        f"version of tools/convert_checkpoint.py (notably "
+                        f"before the AudioLDM2 dual-stream re-layout), "
+                        f"re-run the converter. Original error: {e}"
+                    ) from e
         else:
             raise FileNotFoundError(f"missing converted weights: {path}")
     return params

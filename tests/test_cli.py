@@ -41,6 +41,32 @@ def test_main_run_ours(wav_file, tmp_path):
     assert "skip_2" in os.path.basename(out)
 
 
+def test_main_run_selfcheck(wav_file, tmp_path):
+    """--selfcheck reverses with the SOURCE conditioning and must
+    reconstruct the recorded trajectory start near-exactly (the reference's
+    commented-out consistency checks, inversion_utils.py:127,305, made
+    first-class)."""
+    import json
+
+    from audioeditingcode_tpu.cli.run import main
+
+    out = main([
+        "--model_id", "test/tiny-audioldm",
+        "--init_aud", wav_file,
+        "--target_prompt", "a trumpet",
+        "--source_prompt", "a sine tone",
+        "--num_diffusion_steps", "6",
+        "--tstart", "4",
+        "--results_path", str(tmp_path / "results"),
+        "--seed", "0",
+        "--selfcheck",
+    ])
+    assert os.path.basename(out).startswith("selfcheck_")
+    with open(os.path.join(os.path.dirname(out), "run_args.json")) as f:
+        summary = json.load(f)
+    assert summary["selfcheck_snr_db"] >= 40.0
+
+
 def test_main_run_ddim(wav_file, tmp_path):
     from audioeditingcode_tpu.cli.run import main
 
