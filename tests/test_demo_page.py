@@ -56,3 +56,56 @@ def test_empty_results_placeholder(tmp_path):
     page = render(scan_results(str(tmp_path / "results")),
                   str(tmp_path / "supp.html"))
     assert "No results yet" in page
+
+
+def test_comparison_page_all_method_lanes(tmp_path):
+    """End-to-end: REAL tiny-model CLI runs for the ours/sdedit/ddim lanes,
+    synthetic MusicGen baseline trees — the page must render every method
+    column of the reference's supp.html (ours / SDEdit / DDIM / MusicGen /
+    MusicGen-large / original). VERDICT r2 #9."""
+    from audioeditingcode_tpu.cli.run import main as run_main
+    from audioeditingcode_tpu.cli.sdedit import main as sdedit_main
+    from audioeditingcode_tpu.utils.audio_io import write_wav
+
+    sr = 16000
+    t = np.arange(sr // 2, dtype=np.float32) / sr
+    clips = []
+    for i, f0 in enumerate((330, 392)):
+        p = str(tmp_path / f"clip{i}.wav")
+        write_wav(p, (0.4 * np.sin(2 * np.pi * f0 * t))[None], sr)
+        clips.append(p)
+
+    common = ["--model_id", "test/tiny-audioldm", "--num_diffusion_steps", "4",
+              "--seed", "0", "--target_prompt", "a trumpet"]
+    for p in clips:
+        run_main(common + ["--init_aud", p, "--tstart", "3",
+                           "--results_path", str(tmp_path / "ours")])
+    run_main(common + ["--init_aud", clips[0], "--tstart", "4",
+                       "--mode", "ddim",
+                       "--results_path", str(tmp_path / "ddim")])
+    sdedit_main(common + ["--init_aud", clips[0], "--tstart", "3",
+                          "--results_path", str(tmp_path / "sdedit")])
+
+    for name in ("musicgen", "musicgen_large"):
+        d = tmp_path / name / "clip0"
+        d.mkdir(parents=True)
+        wavfile.write(d / "prompt_a trumpet.wav", sr,
+                      np.zeros(1600, np.int16))
+
+    out = str(tmp_path / "docs" / "supp.html")
+    main(["--results", str(tmp_path / "ours"),
+          "--sdedit", str(tmp_path / "sdedit"),
+          "--ddim", str(tmp_path / "ddim"),
+          "--musicgen", str(tmp_path / "musicgen"),
+          "--musicgen_large", str(tmp_path / "musicgen_large"),
+          "--out", out,
+          "--copy-audio", str(tmp_path / "docs" / "resources" / "audio")])
+    page = open(out).read()
+    for col in ("ours", "sdedit", "ddim", "musicgen", "musicgen-large",
+                "original"):
+        assert f"<th>{col}</th>" in page, col
+    # both clips row-indexed; every lane contributed audio
+    assert "clip0" in page and "clip1" in page
+    # ours(3: 2 edits + ddim? no—) count: orig per row + per-method audio
+    assert page.count("<audio") >= 7
+    assert str(tmp_path) not in page

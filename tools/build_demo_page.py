@@ -112,6 +112,21 @@ def scan_results(results_dir: str) -> List[EditRow]:
     return rows
 
 
+def scan_musicgen(root: str):
+    """MusicGen baseline layout (reference: evals/utils.py:211-216 and the
+    supp page's MusicGen columns): ``<root>/<clip>/prompt_<target>.wav`` —
+    returns {(clip, target_prompt): wav_path}."""
+    out = {}
+    for clip in sorted(os.listdir(root)):
+        cdir = os.path.join(root, clip)
+        if not os.path.isdir(cdir):
+            continue
+        for f in sorted(os.listdir(cdir)):
+            if f.endswith(".wav") and f.startswith("prompt_"):
+                out[(clip, f[7:-4])] = os.path.join(cdir, f)
+    return out
+
+
 def _audio_tag(path: str) -> str:
     return (f'<audio controls preload="none" '
             f'src="{html.escape(path)}"></audio>')
@@ -162,19 +177,113 @@ def render(rows: List[EditRow], out_path: str,
     return _PAGE.format(body="\n".join(parts))
 
 
+def render_comparison(method_rows, out_path: str,
+                      copy_audio: Optional[str] = None) -> str:
+    """Method-comparison page (the reference supp.html layout: one column
+    per method — ours / SDEdit / DDIM / MusicGen / MusicGen-large — plus the
+    original, rows keyed by (clip, target prompt)).
+
+    method_rows: {method_name: {(clip, target_prompt):
+                  (orig_wav|None, [edited wavs])}}
+    """
+    out_dir = os.path.dirname(os.path.abspath(out_path))
+
+    def rel(p: str) -> str:
+        if copy_audio:
+            os.makedirs(copy_audio, exist_ok=True)
+            dst = os.path.join(
+                copy_audio, "_".join(os.path.normpath(p).split(os.sep)[-4:]))
+            shutil.copyfile(p, dst)
+            p = dst
+        return os.path.relpath(os.path.abspath(p), out_dir)
+
+    methods = [m for m in ("ours", "sdedit", "ddim", "musicgen",
+                           "musicgen-large") if m in method_rows]
+    methods += sorted(set(method_rows) - set(methods))
+    keys = sorted({k for rows in method_rows.values() for k in rows})
+    if not keys:
+        return _PAGE.format(body='<p class="empty">No results yet.</p>')
+
+    parts = ["<h2>Method comparison</h2>",
+             "<table><tr><th>clip</th><th>target prompt</th><th>original</th>"
+             + "".join(f"<th>{html.escape(m)}</th>" for m in methods)
+             + "</tr>"]
+    for clip, target in keys:
+        orig = None
+        cells = []
+        for m in methods:
+            entry = method_rows[m].get((clip, target))
+            if entry is None:
+                cells.append("<td>&mdash;</td>")
+                continue
+            o, edited = entry
+            orig = orig or o
+            cells.append("<td>" + "<br>".join(
+                f'{_audio_tag(rel(e))}'
+                f'<div class="cfg">{_cfg_label(os.path.basename(e))}</div>'
+                for e in edited) + "</td>")
+        parts.append(
+            "<tr>"
+            f"<td>{html.escape(clip)}</td>"
+            f'<td class="prompt">{html.escape(target)}</td>'
+            f"<td>{_audio_tag(rel(orig)) if orig else '&mdash;'}</td>"
+            + "".join(cells) + "</tr>")
+    parts.append("</table>")
+    return _PAGE.format(body="\n".join(parts))
+
+
+def _method_rows_from_tree(results_dir: str):
+    """Group a CLI results tree by (clip, target prompt)."""
+    out = {}
+    for r in scan_results(results_dir):
+        key = (r.clip, r.target_prompt)
+        if key in out:  # merge multiple cfg variants of the same edit
+            out[key] = (out[key][0] or r.orig_wav, out[key][1] + r.edited)
+        else:
+            out[key] = (r.orig_wav, list(r.edited))
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--results", required=True, help="results directory root")
+    p.add_argument("--results", required=True,
+                   help="results directory root ('ours' edits)")
+    p.add_argument("--sdedit", default=None,
+                   help="SDEdit baseline results root (cli/sdedit.py layout)")
+    p.add_argument("--ddim", default=None,
+                   help="DDIM-inversion baseline results root")
+    p.add_argument("--musicgen", default=None,
+                   help="MusicGen baseline root (<root>/<clip>/prompt_<t>.wav)")
+    p.add_argument("--musicgen_large", default=None,
+                   help="MusicGen-large baseline root (same layout)")
     p.add_argument("--out", default="docs/supp.html")
     p.add_argument("--copy-audio", default=None,
                    help="copy wavs under this dir (for a publishable page)")
     args = p.parse_args(argv)
-    rows = scan_results(args.results)
-    page = render(rows, args.out, copy_audio=args.copy_audio)
+
+    baselines = (args.sdedit, args.ddim, args.musicgen, args.musicgen_large)
+    if any(baselines):
+        method_rows = {"ours": _method_rows_from_tree(args.results)}
+        if args.sdedit:
+            method_rows["sdedit"] = _method_rows_from_tree(args.sdedit)
+        if args.ddim:
+            method_rows["ddim"] = _method_rows_from_tree(args.ddim)
+        for name, root in (("musicgen", args.musicgen),
+                           ("musicgen-large", args.musicgen_large)):
+            if root:
+                method_rows[name] = {k: (None, [v]) for k, v in
+                                     scan_musicgen(root).items()}
+        page = render_comparison(method_rows, args.out,
+                                 copy_audio=args.copy_audio)
+        n = sum(len(v) for v in method_rows.values())
+    else:
+        rows = scan_results(args.results)
+        page = render(rows, args.out, copy_audio=args.copy_audio)
+        n = len(rows)
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w") as f:
         f.write(page)
-    print(f"[+] wrote {args.out} ({len(rows)} edit rows)")
+    print(f"[+] wrote {args.out} ({n} edit rows)")
 
 
 if __name__ == "__main__":

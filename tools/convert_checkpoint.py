@@ -224,6 +224,17 @@ def convert_projection_sa(sd: Dict[str, np.ndarray], flax_params):
     return unflatten_dict(out)
 
 
+def convert_vocoder(sd: Dict[str, np.ndarray], flax_params, normalize_before: bool):
+    """SpeechT5HifiGan: fold weight norm; the persistent mean/scale buffers
+    are consumed only when normalize_before=True (transformers
+    modeling_speecht5.py forward) — the AudioLDM configs run False, where
+    the flax module has no such params, so they are dropped explicitly."""
+    sd = fold_weight_norm(sd)
+    if not normalize_before:
+        sd = {k: v for k, v in sd.items() if k not in ("mean", "scale")}
+    return {"params": torch_to_flax_params(sd, flax_params["params"], strict=True)}
+
+
 # ----------------------------------------------------------------- main
 def convert(model_id: str, src: str, out: str) -> None:
     import jax.numpy as jnp
@@ -265,9 +276,9 @@ def convert(model_id: str, src: str, out: str) -> None:
             vae_sd, pipe.vae_params["params"], strict=False)},
             os.path.join(out, "vae.msgpack"))
     if spec.vocoder is not None:
-        save_msgpack({"params": torch_to_flax_params(
-            fold_weight_norm(load_subfolder_state_dict(src, "vocoder")),
-            pipe.vocoder_params["params"], strict=False)},
+        save_msgpack(convert_vocoder(
+            load_subfolder_state_dict(src, "vocoder"), pipe.vocoder_params,
+            spec.vocoder.normalize_before),
             os.path.join(out, "vocoder.msgpack"))
 
     if spec.family == "audioldm2":
