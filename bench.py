@@ -275,9 +275,42 @@ def _launch_child(spec: str, timeout_s: float):
     return None, "no row in child output"
 
 
+def _backend_alive(timeout_s: float = 150.0) -> bool:
+    """Probe the backend in a throwaway subprocess: axon's init HANGS
+    indefinitely when the tunnel is down (BENCH_r02 died this way), so a
+    bounded probe keeps a dead tunnel from burning each child's full
+    timeout."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL, env=dict(os.environ))
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def orchestrate() -> int:
     t_start = time.monotonic()
     budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+    if not os.environ.get("BENCH_FAKE"):
+        alive = False
+        for attempt in range(3):
+            alive = _backend_alive()
+            if alive:
+                break
+            print(f"[bench] backend probe {attempt + 1}/3 failed "
+                  f"(tunnel down?)", file=sys.stderr)
+            if budget - (time.monotonic() - t_start) < 300:
+                break
+            time.sleep(60)
+        if not alive:
+            # still down: emit a parseable (empty) result line instead of
+            # letting the driver kill a hung run with nothing recorded
+            print(_result_line([], "backend unavailable (tunnel down)"),
+                  flush=True)
+            return 1
 
     models_env = os.environ.get("BENCH_MODEL") or os.environ.get(
         "BENCH_MODELS", "all")

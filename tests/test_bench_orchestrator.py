@@ -100,3 +100,26 @@ def test_models_env_filters_and_keeps_both_stable_audio_configs():
     assert len(fams) == 2
     assert fams[0].get("config") is None
     assert fams[1]["config"] == "empty_src_batch1_fwd"
+
+
+def test_backend_down_emits_parseable_empty_line(monkeypatch, capsys):
+    """With the axon tunnel down (BENCH_r02's failure mode) the orchestrator
+    must print a parseable empty result line and exit 1 instead of letting
+    children hang on backend init until the driver kills the run."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench_mod", BENCH)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    monkeypatch.delenv("BENCH_FAKE", raising=False)
+    monkeypatch.setenv("BENCH_BUDGET_S", "10")
+    monkeypatch.setattr(bench, "_backend_alive", lambda timeout_s=1: False)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    rc = bench.orchestrate()
+    out = capsys.readouterr().out
+    line = json.loads([ln for ln in out.splitlines()
+                       if ln.strip().startswith("{")][-1])
+    assert rc == 1
+    assert line["value"] == 0.0 and line["vs_baseline"] == 0.0
+    assert "backend unavailable" in line["detail"]["note"]
