@@ -84,11 +84,21 @@ def main(argv=None):
             overlap=args.overlap,
             method=args.method,
         )
-        for name, df in combine_scores(state).items():
+        dfs = combine_scores(state)
+        for name, df in dfs.items():
             out = os.path.join(args.out_dir, f"scores_{name}.csv")
             df.to_csv(out, index=False)
             outputs.append(out)
             print(f"[+] wrote {out} ({len(df)} rows)")
+        if len(dfs) > 1:
+            # side-by-side method table (the paper's supervised comparison
+            # incl. MusicGen baseline columns — evals/SupEval.ipynb)
+            from ..evals.scores import method_comparison_table
+
+            out = os.path.join(args.out_dir, "method_comparison.csv")
+            method_comparison_table(dfs).to_csv(out, index=False)
+            outputs.append(out)
+            print(f"[+] wrote {out}")
 
     if args.fad_gen_dir:
         import json

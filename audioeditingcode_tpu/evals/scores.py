@@ -241,6 +241,23 @@ def supervised_tradeoff_table(df, group_by=("skip", "tarcfg", "srccfg")):
     return agg.reset_index().sort_values(cols)
 
 
+def method_comparison_table(dfs):
+    """One tidy frame across ALL method lanes — the side-by-side comparison
+    behind the paper's supervised table (reference: evals/SupEval.ipynb plots
+    the ours trade-off curve against single-point MusicGen/SDEdit/DDIM
+    baselines). Sweep-dimension columns (skip/tarcfg/srccfg) are kept where a
+    lane has them and NaN where it doesn't (flat baselines)."""
+    import pandas as pd
+
+    parts = []
+    for method, df in dfs.items():
+        agg = supervised_tradeoff_table(df)
+        agg.insert(0, "method", method)
+        parts.append(agg)
+    return (pd.concat(parts, ignore_index=True) if parts
+            else pd.DataFrame(columns=["method"]))
+
+
 def unsupervised_fad_table(fad_by_skip: Dict[int, Dict[str, float]]):
     """FAD-to-original vs FAD-to-reference-set scatter data per skip —
     evals/UnsupEval.ipynb cell 16. Input: {skip: {ref_name: fad}}."""

@@ -23,3 +23,18 @@ import jax  # noqa: E402
 # update below is what actually pins the backend to CPU.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache for the suite. utils/jax_setup deliberately
+# skips XLA:CPU (an AOT executable built on one host can SIGILL on another),
+# but the test suite always compiles and runs on the SAME host, so a
+# host-keyed cache dir is safe and cuts repeat-suite wall time dramatically
+# (identical tiny-model edit graphs recompile in every test otherwise).
+# XLA logs a loud machine-feature warning for the prefer-no-scatter/gather
+# tuning pseudo-features when loading; on-host reuse is unaffected.
+import platform  # noqa: E402
+
+_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_test_cache", platform.node())
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

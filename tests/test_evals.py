@@ -249,6 +249,29 @@ class TestTradeoffTables:
         assert row["clap_mean"] == pytest.approx(0.4)
         assert row["clap_count"] == 2
 
+    def test_method_comparison_table(self):
+        """Side-by-side method lanes: sweep dims for ours, NaN-dim flat rows
+        for the MusicGen baselines (the paper's comparison columns)."""
+        import numpy as np
+        import pandas as pd
+
+        from audioeditingcode_tpu.evals.scores import method_comparison_table
+
+        ours = pd.DataFrame([
+            {"skip": 100, "tarcfg": 12.0, "srccfg": 3.0, "clap": 0.3, "lpaps": 0.2},
+            {"skip": 120, "tarcfg": 12.0, "srccfg": 3.0, "clap": 0.6, "lpaps": 0.5},
+        ])
+        mg = pd.DataFrame([
+            {"skip": np.nan, "tarcfg": np.nan, "srccfg": np.nan,
+             "clap": 0.45, "lpaps": 0.9},
+        ])
+        t = method_comparison_table({"ours": ours, "musicgen": mg})
+        assert set(t["method"]) == {"ours", "musicgen"}
+        assert len(t[t["method"] == "ours"]) == 2
+        row = t[t["method"] == "musicgen"].iloc[0]
+        assert row["clap_mean"] == pytest.approx(0.45)
+        assert np.isnan(row["skip"])
+
     def test_unsupervised_table(self):
         from audioeditingcode_tpu.evals.scores import unsupervised_fad_table
 

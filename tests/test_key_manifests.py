@@ -152,10 +152,11 @@ def projection_sa_template(spec):
     from audioeditingcode_tpu.models.projection import StableAudioProjectionModel
 
     module = StableAudioProjectionModel(spec.projection)
+    # the method kwarg must stay out of eval_shape's argument abstraction
     return jax.eval_shape(
-        module.init, jax.random.PRNGKey(0),
+        lambda r, x, t: module.init(r, x, t, method=_projection_init_helper),
+        jax.random.PRNGKey(0),
         jnp.ones((1, 1, spec.projection.text_encoder_dim)), jnp.ones((1,)),
-        method=_projection_init_helper,
     )
 
 
