@@ -35,6 +35,14 @@ def resolve_spec(model_id: str) -> ModelSpec:
     )
 
 
+# (repr(module), rng bytes, arg shapes) -> params. Params are treated as
+# immutable pytrees everywhere (flax functional style; sharding/loading
+# REPLACE attributes rather than mutating arrays), so sharing the arrays
+# across repeated loads of the same spec is safe. This mostly pays off in
+# the test suite, which loads the tiny models hundreds of times.
+_FAST_INIT_CACHE: dict = {}
+
+
 def _fast_init(module, rng, init_args):
     """Materialize params from shapes only — no init forward compute.
 
@@ -49,6 +57,13 @@ def _fast_init(module, rng, init_args):
     projections). Real checkpoints overwrite every leaf; smoke mode only
     needs a non-degenerate random network, which this is.
     """
+    key = (repr(module), np.asarray(rng).tobytes(),
+           tuple((tuple(np.shape(a)), str(getattr(a, "dtype", type(a))))
+                 for a in init_args if a is not None))
+    cached = _FAST_INIT_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     shapes = jax.eval_shape(lambda r: module.init(r, *init_args), rng)
     flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
     # numpy PCG instead of jax threefry: unjitted threefry on one CPU core
@@ -68,9 +83,14 @@ def _fast_init(module, rng, init_args):
             std * g.standard_normal(s.shape, dtype=np.float32), s.dtype
         )
 
-    return jax.tree_util.tree_unflatten(
+    params = jax.tree_util.tree_unflatten(
         treedef, [leaf(i, p, s) for i, (p, s) in enumerate(flat)]
     )
+    # full-size real models are loaded once per process; caching them would
+    # pin GBs — only memoize small (smoke/test) param sets
+    if sum(int(np.prod(s.shape)) for _, s in flat) < 20_000_000:
+        _FAST_INIT_CACHE[key] = params
+    return params
 
 
 def _load_or_init(module, rng, init_args, weights_dir, name):

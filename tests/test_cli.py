@@ -13,7 +13,7 @@ from audioeditingcode_tpu.utils.audio_io import write_wav
 @pytest.fixture(scope="module")
 def wav_file(tmp_path_factory):
     sr = 16000
-    t = np.arange(sr // 2, dtype=np.float32) / sr
+    t = np.arange(sr // 4, dtype=np.float32) / sr
     wave = 0.4 * np.sin(2 * np.pi * 330 * t)
     p = str(tmp_path_factory.mktemp("aud") / "clip.wav")
     write_wav(p, wave[None], sr)
@@ -107,8 +107,8 @@ def test_pc_extract_and_apply(wav_file, tmp_path):
         "--model_id", "test/tiny-audioldm",
         "--init_aud", wav_file,
         "--num_diffusion_steps", "6",
-        "--drift_start", "5", "--drift_end", "2",
-        "--iters", "8",
+        "--drift_start", "4", "--drift_end", "2",
+        "--iters", "5",
         "--n_evs", "2",
         "--results_path", str(tmp_path / "pc"),
         "--seed", "2",
@@ -118,7 +118,7 @@ def test_pc_extract_and_apply(wav_file, tmp_path):
 
     outs = apply_main([
         "--extraction_path", ckpt,
-        "--drift_start", "5", "--drift_end", "2",
+        "--drift_start", "4", "--drift_end", "2",
         "--amount", "1.5",
         "--evs", "1", "2",
         "--seed", "2",
@@ -130,7 +130,7 @@ def test_pc_extract_and_apply(wav_file, tmp_path):
     # combined evs + rand_v baseline
     outs2 = apply_main([
         "--extraction_path", ckpt,
-        "--drift_start", "5", "--drift_end", "2",
+        "--drift_start", "4", "--drift_end", "2",
         "--amount", "1.0",
         "--evs", "1", "2",
         "--combine_evs",
@@ -156,7 +156,7 @@ def test_pc_extract_ts_chunk_matches_sequential(wav_file, tmp_path):
         "--init_aud", wav_file,
         "--num_diffusion_steps", "6",
         "--drift_start", "5", "--drift_end", "2",  # 3-timestep window
-        "--iters", "4",
+        "--iters", "3",
         "--n_evs", "2",
         "--seed", "7",
         "--wandb_disable",

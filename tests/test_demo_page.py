@@ -68,7 +68,7 @@ def test_comparison_page_all_method_lanes(tmp_path):
     from audioeditingcode_tpu.utils.audio_io import write_wav
 
     sr = 16000
-    t = np.arange(sr // 2, dtype=np.float32) / sr
+    t = np.arange(sr // 4, dtype=np.float32) / sr
     clips = []
     for i, f0 in enumerate((330, 392)):
         p = str(tmp_path / f"clip{i}.wav")

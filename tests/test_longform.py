@@ -64,7 +64,7 @@ def test_run_long_cli(tmp_path):
     from audioeditingcode_tpu.cli.run_long import main
 
     sr = 16000
-    t = np.arange(int(sr * 1.5), dtype=np.float32) / sr
+    t = np.arange(int(sr * 1.0), dtype=np.float32) / sr
     p = str(tmp_path / "clip.wav")
     wavfile.write(p, sr, (0.4 * np.sin(2 * np.pi * 330 * t) * 32767).astype(np.int16))
 
@@ -72,12 +72,12 @@ def test_run_long_cli(tmp_path):
         "--model_id", "test/tiny-audioldm", "--init_aud", p,
         "--target_prompt", "a trumpet", "--source_prompt", "a sine tone",
         "--num_diffusion_steps", "4", "--tstart", "3",
-        "--chunk_seconds", "0.7", "--overlap_seconds", "0.2",
+        "--chunk_seconds", "0.5", "--overlap_seconds", "0.2",
         "--results_path", str(tmp_path / "r"), "--seed", "0",
     ])
     assert os.path.exists(out)
     sr_out, data = wavfile.read(out)
-    assert sr_out == sr and len(data) > sr  # stitched to ~full length
+    assert sr_out == sr and len(data) > int(sr * 0.8)  # stitched ~full length
 
 
 def test_run_long_cli_stable_audio(tmp_path):

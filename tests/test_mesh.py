@@ -125,7 +125,7 @@ def test_pc_extract_ts_chunk_shards_over_dp(tmp_path):
     from audioeditingcode_tpu.utils.audio_io import write_wav
 
     sr = 16000
-    t = np.arange(sr // 2, dtype=np.float32) / sr
+    t = np.arange(sr // 4, dtype=np.float32) / sr
     p = str(tmp_path / "clip.wav")
     write_wav(p, (0.4 * np.sin(2 * np.pi * 330 * t))[None], sr)
 

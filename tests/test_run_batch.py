@@ -28,7 +28,7 @@ def test_batch_edit_directory_mel(tmp_path):
     lands in its own main_run.py-style results dir, cropped to its length."""
     sr = 16000
     d = str(tmp_path / "clips")
-    _write_clips(d, sr, [sr // 2, int(sr * 0.75), sr], [220, 330, 440])
+    _write_clips(d, sr, [sr // 4, int(sr * 0.375), sr // 2], [220, 330, 440])
 
     outs = main([
         "--model_id", "test/tiny-audioldm", "--init_aud", d,
@@ -138,7 +138,7 @@ def test_batch_results_feed_the_eval_tower(tmp_path):
 
     sr = 16000
     d = str(tmp_path / "clips")
-    _write_clips(d, sr, [sr, sr], [220, 330])
+    _write_clips(d, sr, [sr // 2, sr // 2], [220, 330])
 
     main([
         "--model_id", "test/tiny-audioldm", "--init_aud", d,
