@@ -26,6 +26,7 @@ import flax.linen as nn
 import numpy as np
 
 from ..ops.flash_attention import fused_attention
+from ..ops.swiglu import fused_swiglu
 
 
 @dataclasses.dataclass(frozen=True)
@@ -159,6 +160,27 @@ class GQAttention(nn.Module):
         return nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_out_0")(out)
 
 
+class _SwiGLUProj(nn.Module):
+    """Dense(2N) + chunk + h*silu(gate) as ONE op. Param layout is exactly
+    ``nn.Dense(2N)``'s ({kernel, bias}) so checkpoints and the converter are
+    unaffected; compute dispatches to the fused Pallas kernel
+    (ops/swiglu.py) which keeps the (M, 2N) intermediate out of HBM."""
+
+    features: int  # 2 * inner
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features), jnp.float32)
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,),
+            jnp.float32)
+        return fused_swiglu(x.astype(self.dtype), kernel.astype(self.dtype),
+                            bias)
+
+
 class SwiGLUFeedForward(nn.Module):
     """FeedForward(activation_fn='swiglu'): Dense(2*4d) -> h * silu(gate) -> Dense(d)."""
 
@@ -169,9 +191,8 @@ class SwiGLUFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x):
         inner = self.dim * self.mult
-        h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
-        h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.silu(gate)
+        h = _SwiGLUProj(features=inner * 2, dtype=self.dtype,
+                        name="net_0_proj")(x)
         return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
 
 
