@@ -68,24 +68,6 @@ def rotary_tables(dim: int, seq_len: int, theta: float = 10000.0):
     return jnp.asarray(cos, jnp.float32), jnp.asarray(sin, jnp.float32)
 
 
-def _rotate_half(x):
-    x1, x2 = jnp.split(x, 2, axis=-1)
-    return jnp.concatenate([-x2, x1], axis=-1)
-
-
-def _apply_partial_rotary(x, cos, sin):
-    """Rotate the first rot_dim features of each head (rot_dim = cos.shape[-1]).
-
-    x: (B, S, H, Dh); cos/sin: (S, rot_dim). The rotation runs in f32 and the
-    result is cast back to x.dtype so the downstream attention matmuls stay
-    on the bf16 MXU path (f32 matmuls run at ~1/8 rate on v5e)."""
-    rot_dim = cos.shape[-1]
-    x_rot, x_pass = x[..., :rot_dim], x[..., rot_dim:]
-    x_rot = x_rot.astype(jnp.float32)
-    x_rot = x_rot * cos[:, None] + _rotate_half(x_rot) * sin[:, None]
-    return jnp.concatenate([x_rot.astype(x.dtype), x_pass], axis=-1)
-
-
 class GaussianFourierProjection(nn.Module):
     """Fixed random Fourier features for the continuous timestep
     (StableAudioGaussianFourierProjection: flip_sin_to_cos=True, log=False)."""
@@ -144,18 +126,16 @@ class GQAttention(nn.Module):
         k = k.reshape(B, ctx.shape[1], self.kv_heads, self.head_dim)
         v = v.reshape(B, ctx.shape[1], self.kv_heads, self.head_dim)
 
-        if rotary is not None:
-            cos, sin = rotary
-            q = _apply_partial_rotary(q, cos, sin)
-            k = _apply_partial_rotary(k, cos, sin)
-
         # grouped k/v heads pass through unexpanded — both the Pallas kernel
         # (kv-group index map) and jax.nn.dot_product_attention handle GQA
-        # natively, so shared K/V never hits HBM heads/kv_heads times
+        # natively, so shared K/V never hits HBM heads/kv_heads times.
+        # The partial rotary embedding travels as (cos, sin) tables and is
+        # applied inside the attention kernel on the Pallas path (rotated
+        # q/k never round-trip through HBM).
         bias = None
         if context_bias is not None:
             bias = context_bias[:, None, None, :].astype(jnp.float32)
-        out = fused_attention(q, k, v, bias=bias)
+        out = fused_attention(q, k, v, bias=bias, rotary=rotary)
         out = out.reshape(B, S, inner)
         return nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_out_0")(out)
 

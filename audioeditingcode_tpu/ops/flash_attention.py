@@ -43,13 +43,39 @@ def _kv_vmem_bytes(seq: int, head_dim: int, itemsize: int) -> int:
     return 2 * seq * lanes * itemsize
 
 
+def _rotate(x, cos, sin):
+    """Partial rotary on the first cos.shape[-1] features of (rows, D) x,
+    in f32, rotate-half convention (matches models/dit1d._apply_partial_rotary)."""
+    rot = cos.shape[-1]
+    xr = x[:, :rot].astype(jnp.float32)
+    half = rot // 2
+    rh = jnp.concatenate([-xr[:, half:], xr[:, :half]], axis=-1)
+    out = xr * cos + rh * sin
+    return jnp.concatenate([out.astype(x.dtype), x[:, rot:]], axis=-1)
+
+
+def _attn_rotary_kernel(q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+                        o_ref, *, scale: float, kv_len: int):
+    """_attn_kernel with the partial rotary embedding applied INSIDE the
+    kernel: rotated q/k never round-trip through HBM and the pre-attention
+    elementwise fusion boundary disappears. cq/sq are the (bq, rot) table
+    rows for this query block; ck/sk the full (S, rot) tables for k (the
+    same arrays passed twice with different index maps)."""
+    q = _rotate(q_ref[0], cq_ref[...], sq_ref[...])
+    q = (q.astype(jnp.float32) * scale).astype(q_ref.dtype)
+    k = _rotate(k_ref[0], ck_ref[...], sk_ref[...])
+    _attn_core(q, k, v_ref[0], o_ref, kv_len=kv_len)
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
     # Matmul INPUTS stay in the model dtype (bf16 on the perf path — the
     # MXU runs f32xf32 at ~1/8 the bf16 rate on v5e); accumulation and the
     # softmax run in f32 (preferred_element_type), the standard recipe.
     q = (q_ref[0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # (bq, d)
-    k = k_ref[0]  # (S, d)
-    v = v_ref[0]
+    _attn_core(q, k_ref[0], v_ref[0], o_ref, kv_len=kv_len)
+
+
+def _attn_core(q, k, v, o_ref, *, kv_len: int):
     s = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -115,8 +141,55 @@ def _batched_blocked_attention(interpret: bool):
     return attn
 
 
+@functools.lru_cache(maxsize=2)
+def _batched_rotary_attention(interpret: bool):
+    """As _batched_blocked_attention but with the rotary tables: cos/sin
+    are position-indexed (shared across the vmap axis), so only q/k/v fold
+    into the grid axis."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def attn(q, k, v, cos, sin):
+        return _blocked_attention(q, k, v, rotary=(cos, sin),
+                                  interpret=interpret)
+
+    @attn.def_vmap
+    def _rule(axis_size, in_batched, q, k, v, cos, sin):  # noqa: ANN001
+        def fold(x, batched):
+            if not batched:
+                x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            return x.reshape((-1,) + x.shape[2:])
+
+        if in_batched[3] or in_batched[4]:
+            # per-batch rotary tables never occur here (tables depend only
+            # on position); keep the rule total anyway
+            out = jax.vmap(
+                lambda qi, ki, vi, ci, si: _blocked_attention(
+                    _host_rotary(qi, ci, si), _host_rotary(ki, ci, si), vi,
+                    interpret=interpret),
+                in_axes=tuple(0 if b else None for b in in_batched),
+            )(q, k, v, cos, sin)
+            return out, True
+        out = _blocked_attention(
+            fold(q, in_batched[0]), fold(k, in_batched[1]),
+            fold(v, in_batched[2]), rotary=(cos, sin), interpret=interpret)
+        return out.reshape((axis_size, -1) + out.shape[1:]), True
+
+    return attn
+
+
+def _host_rotary(x, cos, sin):
+    """(B, S, H, D) partial rotary outside the kernel (fallback paths)."""
+    rot = cos.shape[-1]
+    xr = x[..., :rot].astype(jnp.float32)
+    half = rot // 2
+    rh = jnp.concatenate([-xr[..., half:], xr[..., :half]], axis=-1)
+    out = xr * cos[:, None] + rh * sin[:, None]
+    return jnp.concatenate([out.astype(x.dtype), x[..., rot:]], axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _blocked_attention(q, k, v, interpret: bool = False):
+def _blocked_attention(q, k, v, rotary=None, interpret: bool = False):
     """(B, S, H, D) self-attention, scores never leave VMEM.
 
     Sequences that are not a sublane multiple (e.g. the DiT's 1024+1 global
@@ -143,16 +216,40 @@ def _blocked_attention(q, k, v, interpret: bool = False):
 
     bq = _block_q(S, _kv_vmem_bytes(S, D, q.dtype.itemsize))
     grid = (B * H, S // bq)
+    in_specs = [
+        pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, S, D), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, S, D), kv_index, memory_space=pltpu.VMEM),
+    ]
+    operands = [qt, kt, vt]
+    if rotary is None:
+        kernel = functools.partial(_attn_kernel, scale=scale, kv_len=S0)
+    else:
+        cos, sin = rotary
+        rot = cos.shape[-1]
+        if cos.shape[0] != S:
+            rpad = ((0, S - cos.shape[0]), (0, 0))
+            cos, sin = jnp.pad(cos, rpad), jnp.pad(sin, rpad)
+        kernel = functools.partial(_attn_rotary_kernel, scale=scale,
+                                   kv_len=S0)
+        # the SAME cos/sin arrays twice: query-block rows and full-k rows
+        in_specs += [
+            pl.BlockSpec((bq, rot), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, rot), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, rot), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, rot), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [cos, sin, cos, sin]
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, kv_len=S0),
+        kernel,
         out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, D), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, D), kv_index, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
@@ -162,7 +259,7 @@ def _blocked_attention(q, k, v, interpret: bool = False):
                             + B * H * S * D) * q.dtype.itemsize,
             transcendentals=B * H * S * S,
         ),
-    )(qt, kt, vt)
+    )(*operands)
     out = out.reshape(B, H, S, D).transpose(0, 2, 1, 3)
     return out[:, :S0] if S != S0 else out
 
@@ -200,9 +297,15 @@ def fused_attention(
     k: jnp.ndarray,  # (B, K, H, D)
     v: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
+    rotary: Optional[tuple] = None,  # (cos, sin), each (Q, rot_dim)
 ) -> jnp.ndarray:
     """Attention dispatcher: Pallas blocked kernel for long unmasked
-    self-attention on TPU, XLA fused attention otherwise."""
+    self-attention on TPU, XLA fused attention otherwise. When ``rotary``
+    is given, the partial rotary embedding is applied to q/k INSIDE the
+    kernel (rotated q/k never round-trip through HBM); fallback paths
+    apply it outside first."""
+    import os
+
     B, Q, H, D = q.shape
     K = k.shape[1]
     use_kernel = (
@@ -214,16 +317,28 @@ def fused_attention(
         and _kv_vmem_bytes(-(-Q // 8) * 8, D, q.dtype.itemsize)
         <= _MAX_KV_VMEM_BYTES
     )
+    rotary_in_kernel = (
+        rotary is not None
+        and rotary[0].shape[-1] % 2 == 0
+        and os.environ.get("AEC_ROTARY_IN_KERNEL", "1") == "1"
+    )
     if use_kernel:
         backend = jax.default_backend()
-        if backend == "tpu":
-            return _batched_blocked_attention(False)(q, k, v)
-        # exercised under tests via the interpreter so the kernel logic is
-        # covered on CPU too
-        import os
-
-        if os.environ.get("PALLAS_INTERPRET_ATTENTION", "0") == "1":
-            return _batched_blocked_attention(True)(q, k, v)
+        interpret = (backend != "tpu" and os.environ.get(
+            "PALLAS_INTERPRET_ATTENTION", "0") == "1")
+        if backend == "tpu" or interpret:
+            # exercised under tests via the interpreter so the kernel
+            # logic is covered on CPU too
+            if rotary_in_kernel:
+                return _batched_rotary_attention(interpret)(
+                    q, k, v, rotary[0], rotary[1])
+            if rotary is not None:
+                q = _host_rotary(q, *rotary)
+                k = _host_rotary(k, *rotary)
+            return _batched_blocked_attention(interpret)(q, k, v)
+    if rotary is not None:
+        q = _host_rotary(q, *rotary)
+        k = _host_rotary(k, *rotary)
     if bias is None and Q == K and Q >= 8192 and H == k.shape[2]:
         # kernel-ineligible long self-attention: dense XLA would put the
         # full (S, S) score matrix in HBM (24 GB at S=16k batch 24)

@@ -150,3 +150,78 @@ def test_gqa_kv_group_indexing():
     got = _blocked_attention(q, k, v, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+class TestRotaryInKernel:
+    """Partial rotary applied inside the Pallas kernel must match the
+    host-side rotation + plain kernel (the DiT attn1 path)."""
+
+    @staticmethod
+    def _tables(S, rot):
+        from audioeditingcode_tpu.models.dit1d import rotary_tables
+        return rotary_tables(rot * 2, S)  # rotary_tables(dim) -> (S, dim)
+
+    @pytest.mark.parametrize("S,H,Hkv", [(1025, 4, 2), (1032, 2, 2)])
+    def test_matches_host_rotary(self, S, H, Hkv):
+        from audioeditingcode_tpu.ops.flash_attention import _host_rotary
+
+        rngs = jax.random.split(jax.random.PRNGKey(7), 3)
+        q = jax.random.normal(rngs[0], (2, S, H, 64))
+        k = jax.random.normal(rngs[1], (2, S, Hkv, 64))
+        v = jax.random.normal(rngs[2], (2, S, Hkv, 64))
+        cos, sin = self._tables(S, 16)
+        ref = _blocked_attention(_host_rotary(q, cos, sin),
+                                 _host_rotary(k, cos, sin), v,
+                                 interpret=True)
+        got = _blocked_attention(q, k, v, rotary=(cos, sin), interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_dispatcher_rotary_kernel_and_fallback_agree(self):
+        os.environ["PALLAS_INTERPRET_ATTENTION"] = "1"
+        try:
+            rngs = jax.random.split(jax.random.PRNGKey(8), 3)
+            q = jax.random.normal(rngs[0], (1, 1025, 2, 64))
+            k = jax.random.normal(rngs[1], (1, 1025, 2, 64))
+            v = jax.random.normal(rngs[2], (1, 1025, 2, 64))
+            cos, sin = self._tables(1025, 16)
+            got = fused_attention(q, k, v, rotary=(cos, sin))
+            os.environ["AEC_ROTARY_IN_KERNEL"] = "0"
+            ref = fused_attention(q, k, v, rotary=(cos, sin))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-5, rtol=2e-5)
+        finally:
+            os.environ.pop("AEC_ROTARY_IN_KERNEL", None)
+            del os.environ["PALLAS_INTERPRET_ATTENTION"]
+
+    def test_xla_fallback_applies_rotary(self):
+        # short sequence -> XLA path; rotary must still be applied
+        from audioeditingcode_tpu.ops.flash_attention import _host_rotary
+
+        rngs = jax.random.split(jax.random.PRNGKey(9), 3)
+        q = jax.random.normal(rngs[0], (1, 64, 2, 32))
+        k = jax.random.normal(rngs[1], (1, 64, 2, 32))
+        v = jax.random.normal(rngs[2], (1, 64, 2, 32))
+        cos, sin = self._tables(64, 8)
+        ref = jax.nn.dot_product_attention(
+            _host_rotary(q, cos, sin), _host_rotary(k, cos, sin), v)
+        got = fused_attention(q, k, v, rotary=(cos, sin))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_vmapped_rotary_kernel_folds(self):
+        os.environ["PALLAS_INTERPRET_ATTENTION"] = "1"
+        try:
+            rngs = jax.random.split(jax.random.PRNGKey(10), 3)
+            q = jax.random.normal(rngs[0], (3, 1, 1032, 2, 16))
+            k = jax.random.normal(rngs[1], (3, 1, 1032, 2, 16))
+            v = jax.random.normal(rngs[2], (3, 1, 1032, 2, 16))
+            cos, sin = self._tables(1032, 4)
+            f = lambda qi, ki, vi: fused_attention(  # noqa: E731
+                qi, ki, vi, rotary=(cos, sin))
+            got = jax.vmap(f)(q, k, v)
+            ref = jnp.stack([f(q[i], k[i], v[i]) for i in range(3)])
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=2e-5, rtol=2e-5)
+        finally:
+            del os.environ["PALLAS_INTERPRET_ATTENTION"]
