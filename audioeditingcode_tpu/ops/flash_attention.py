@@ -301,9 +301,9 @@ def fused_attention(
 ) -> jnp.ndarray:
     """Attention dispatcher: Pallas blocked kernel for long unmasked
     self-attention on TPU, XLA fused attention otherwise. When ``rotary``
-    is given, the partial rotary embedding is applied to q/k INSIDE the
-    kernel (rotated q/k never round-trip through HBM); fallback paths
-    apply it outside first."""
+    is given, the partial rotary embedding is applied to q/k before the
+    kernel; AEC_ROTARY_IN_KERNEL=1 opts into applying it INSIDE the kernel
+    instead (measured slower on v5e — see PERF_NOTES.md)."""
     import os
 
     B, Q, H, D = q.shape
@@ -317,10 +317,15 @@ def fused_attention(
         and _kv_vmem_bytes(-(-Q // 8) * 8, D, q.dtype.itemsize)
         <= _MAX_KV_VMEM_BYTES
     )
+    # Default OFF: the in-kernel rotate was measured SLOWER in-model on v5e
+    # (Stable Audio batch-2 CFG edit: 31.36 vs 32.29 steps/s/chip with the
+    # host rotate, 2026-08-18 A/B, PERF_NOTES.md) — the per-block (cos, sin)
+    # table reloads cost more than the ~19 MB/layer HBM round-trip they
+    # save. Kept behind AEC_ROTARY_IN_KERNEL=1 for future re-measurement.
     rotary_in_kernel = (
         rotary is not None
         and rotary[0].shape[-1] % 2 == 0
-        and os.environ.get("AEC_ROTARY_IN_KERNEL", "1") == "1"
+        and os.environ.get("AEC_ROTARY_IN_KERNEL", "0") == "1"
     )
     if use_kernel:
         backend = jax.default_backend()

@@ -185,6 +185,7 @@ class TestRotaryInKernel:
             k = jax.random.normal(rngs[1], (1, 1025, 2, 64))
             v = jax.random.normal(rngs[2], (1, 1025, 2, 64))
             cos, sin = self._tables(1025, 16)
+            os.environ["AEC_ROTARY_IN_KERNEL"] = "1"
             got = fused_attention(q, k, v, rotary=(cos, sin))
             os.environ["AEC_ROTARY_IN_KERNEL"] = "0"
             ref = fused_attention(q, k, v, rotary=(cos, sin))
