@@ -207,13 +207,18 @@ def log_pc_corrs(wandb, corrs, in_corrs, eigvals, n_evs: int) -> None:
             wandb.log({f"in_corr_{ev}": wandb.plot.line(
                 table, "iter", "corr",
                 title=f"Subspace iteration correlations #PC {ev}")})
-    # One wandb.log per iteration carrying ALL evs' eigenvalues: wandb drops
-    # log calls whose step goes backwards, so per-ev inner loops over `it`
-    # would silently discard every ev's history after the first.
+    # One wandb.log per iteration carrying ALL evs' eigenvalues, with the
+    # iteration as a DATA FIELD rather than step=: wandb drops log calls
+    # whose step goes backwards, and the in_corr plot logs above already
+    # advanced the run's auto-step past 0, so any explicit step=it restart
+    # would silently discard the first iterations (plot eigval_* against
+    # eigval_iter).
     if eigvals.size:
         for it in range(eigvals.shape[0]):
-            wandb.log({f"eigval_{ev}": float(eigvals[it, ev])
-                       for ev in range(n_evs)}, step=it)
+            row = {f"eigval_{ev}": float(eigvals[it, ev])
+                   for ev in range(n_evs)}
+            row["eigval_iter"] = it
+            wandb.log(row)
     if corrs.size:
         fig1, _ = plot_corrs(corrs, in_corrs, n_evs)
         wandb.log({"pc_corrs": wandb.Image(fig1)})

@@ -64,13 +64,17 @@ def main(argv=None):
     from ..evals import FADScorer, calc_scores, combine_scores
     from ..evals.features import default_extractor
 
-    extractor = default_extractor(args.clap_model, backend=args.clap_backend,
-                                  allow_mel_fallback=args.allow_mel_fallback)
     os.makedirs(args.out_dir, exist_ok=True)
     outputs = []
+    extractor = None  # LPAPS/consistency extractor, built only when needed:
+    # a FAD-only invocation must not load (or hard-error on) the unrelated
+    # LPAPS protocol checkpoint — FAD has its own protocol binding below.
 
     if (args.ours_dirs or args.sdedit_dirs or args.ddim_dirs
             or args.musicgen_dirs or args.musicgen_large_dirs):
+        extractor = default_extractor(
+            args.clap_model, backend=args.clap_backend,
+            allow_mel_fallback=args.allow_mel_fallback)
         state = calc_scores(
             extractor,
             ours_dirs=args.ours_dirs,
@@ -108,9 +112,15 @@ def main(argv=None):
         # FAD binds to the laion-CLAP MUSIC checkpoint protocol (fadtk
         # 'clap-laion-music', reference evals/fadtk_utils.py:33-59) unless an
         # explicit --clap_model overrides it
-        fad_ext = (extractor if args.clap_model
-                   else fad_extractor(backend=args.clap_backend,
-                                      allow_mel_fallback=args.allow_mel_fallback))
+        if args.clap_model:
+            if extractor is None:
+                extractor = default_extractor(
+                    args.clap_model, backend=args.clap_backend,
+                    allow_mel_fallback=args.allow_mel_fallback)
+            fad_ext = extractor
+        else:
+            fad_ext = fad_extractor(backend=args.clap_backend,
+                                    allow_mel_fallback=args.allow_mel_fallback)
         scorer = FADScorer(fad_ext, window_size_s=args.win_length or 10.0,
                            overlap=args.overlap)
         fads = {ref: scorer.score_dirs(args.fad_gen_dir, ref)

@@ -91,9 +91,11 @@ def _collect_files(paths):
     # results land under basename(clip): two clips sharing a basename would
     # silently overwrite each other's outputs (1 s filename timestamps).
     # Applies to the directory glob too: 'a.wav' and 'a.b.wav' collide.
+    # The key MUST match edit_save_path's (common.py:65, reference
+    # main_run.py:139): split('.')[0], NOT splitext — 'a.b.wav' saves as 'a'.
     seen = {}
     for f in files:
-        base = os.path.splitext(os.path.basename(f))[0]
+        base = os.path.basename(f).split(".")[0]
         if base in seen:
             raise ValueError(
                 f"clips {seen[base]!r} and {f!r} share the results basename "

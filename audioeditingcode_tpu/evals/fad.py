@@ -51,6 +51,17 @@ class FADScorer:
         self.extractor = extractor
         self.window_size_s = window_size_s
         self.overlap = overlap
+        ext_win = getattr(extractor, "input_window_s", None)
+        if ext_win and window_size_s > ext_win:
+            import warnings
+
+            warnings.warn(
+                f"FAD window_size_s={window_size_s} exceeds the extractor's "
+                f"fixed {ext_win}s input window (CLAP-processor semantics): "
+                f"embeddings only see the first {ext_win}s of each window. "
+                f"The reference protocol uses 10 s windows.",
+                stacklevel=2,
+            )
 
     def embed_file(self, path: str, use_cache: bool = True) -> np.ndarray:
         """Windowed embeddings for one audio file, cached as <path>.emb.npy

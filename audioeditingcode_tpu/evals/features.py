@@ -44,6 +44,11 @@ class MelStageExtractor:
 
     sample_rate = 48000
     embed_dim = 64
+    # CLAP-processor parity: every extractor here pads/truncates each input
+    # to a fixed 10 s window before featurizing (HF ClapProcessor does the
+    # same), so features never see audio past this. FADScorer warns when
+    # configured with a longer window.
+    input_window_s = 10.0
 
     def __init__(self, n_mels: int = 64):
         self.config = MelConfig(
@@ -62,7 +67,7 @@ class MelStageExtractor:
         # CLAP's processor pads/truncates every input to a fixed 10 s
         # window, so stage features are length-independent; mirror that so
         # LPAPS between different-length clips is well-defined here too.
-        n = 10 * self.sample_rate
+        n = int(self.input_window_s * self.sample_rate)
         if aud.shape[-1] < n:
             aud = np.pad(aud, ((0, 0), (0, n - aud.shape[-1])))
         else:
@@ -118,6 +123,7 @@ class TransformersClapExtractor:
     """
 
     sample_rate = 48000
+    input_window_s = 10.0  # ClapProcessor pads/truncates to 10 s
 
     def __init__(self, model_name_or_path: str = LPAPS_CLAP_MUSIC_SPEECH,
                  local_files_only: bool = True):
@@ -183,6 +189,7 @@ class FlaxClapExtractor:
     as the oracle."""
 
     sample_rate = 48000
+    input_window_s = 10.0  # ClapProcessor pads/truncates to 10 s
 
     def __init__(self, model_name_or_path: str = LPAPS_CLAP_MUSIC_SPEECH,
                  local_files_only: bool = True):

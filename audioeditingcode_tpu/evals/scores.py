@@ -112,7 +112,11 @@ def _iter_musicgen(root: str):
         if not os.path.isdir(inp_dir):
             continue
         for f in sorted(os.listdir(inp_dir)):
-            if not f.endswith(".wav") or f.startswith("orig"):
+            # only 'prompt_*.wav' files belong to the lane — the [7:-4]
+            # slice is meaningless on stray wavs (e.g. a copied input),
+            # which would otherwise score against a garbage prompt
+            # (build_demo_page.scan_musicgen applies the same filter)
+            if not f.endswith(".wav") or not f.startswith("prompt_"):
                 continue
             tar = f[7:-4]
             yield (audio_input, "", tar, None, None, None,

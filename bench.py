@@ -329,7 +329,9 @@ def orchestrate() -> int:
     for i, spec in enumerate(specs):
         remaining = budget - (time.monotonic() - t_start)
         if remaining < MIN_LAUNCH_BUDGET_S and rows:
-            skipped = specs[i:]
+            # extend, don't overwrite: earlier per-family failures must
+            # stay in the recorded note alongside the unlaunched tail
+            skipped.extend(f"{s} (unlaunched: budget)" for s in specs[i:])
             break
         attempts = 3 if spec.split(":")[0] == HEADLINE else 2
         row, errs = None, []

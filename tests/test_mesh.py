@@ -16,7 +16,6 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
 # NOTE: the full dryrun_multichip content is covered by
 # tests/test_graft_entry.py::test_dryrun_multichip_self_provisions, which
 # additionally validates the driver-faithful fresh-process self-provisioning

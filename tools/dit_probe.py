@@ -44,10 +44,12 @@ def build_variant_forward(variant: str):
         DiT1DConfig,
         GQAttention,
         SwiGLUFeedForward,
-        _apply_partial_rotary,
         rotary_tables,
     )
-    from audioeditingcode_tpu.ops.flash_attention import fused_attention
+    from audioeditingcode_tpu.ops.flash_attention import (
+        _host_rotary,
+        fused_attention,
+    )
 
     cfg = DiT1DConfig()  # real stable-audio-open geometry
 
@@ -71,8 +73,8 @@ def build_variant_forward(variant: str):
             v = v.reshape(B, ctx.shape[1], self.kv_heads, self.head_dim)
             if rotary is not None and variant != "no_rotary":
                 cos, sin = rotary
-                q = _apply_partial_rotary(q, cos, sin)
-                k = _apply_partial_rotary(k, cos, sin)
+                q = _host_rotary(q, cos, sin)
+                k = _host_rotary(k, cos, sin)
             if variant == "no_softmax" and context is None:
                 # linear "attention": same matmul FLOPs, zero transcendentals
                 kr = jnp.repeat(k, self.heads // self.kv_heads, axis=2)
