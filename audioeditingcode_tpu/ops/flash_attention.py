@@ -178,6 +178,43 @@ def _batched_rotary_attention(interpret: bool):
     return attn
 
 
+def _small_kv_attention(q, k, v, bias=None):
+    """Cross-attention for tiny key counts (K far below the 128-lane tile).
+
+    XLA's generic attention materializes (B, H, Q, K) scores with K minor:
+    on TPU the minor dim is padded to 128 lanes, so at K=8 (AudioLDM2's
+    generated-embeds stream) every score op — masking, softmax, the PV
+    matmul — runs at ~6% lane utilization. Transposing the layout to
+    (B, H, K, Q) keeps Q lane-major and reduces over the K sublanes
+    instead, so the softmax runs at full lane width and K pads only to one
+    8-sublane tile.
+
+    Measured NEUTRAL in-model on v5e (AudioLDM2-music batch-2 CFG edit:
+    37.71 vs 37.79 steps/s/chip, 2026-08-19 A/B — XLA's fusion already
+    hides the tiny-K relayouts behind the surrounding matmuls), so the
+    dispatcher default is OFF; kept behind AEC_SMALL_KV_ATTN=1 for
+    re-measurement on future shapes. Exact same math as
+    ``jax.nn.dot_product_attention`` (f32 softmax, additive bias); matmul
+    inputs stay in the model dtype for the MXU.
+    """
+    D = q.shape[-1]
+    scale = 1.0 / (D ** 0.5)
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    # (B, H, K, Q): Q minor/lane-major
+    s = jnp.einsum("bkhd,bqhd->bhkq", k, qs,
+                   preferred_element_type=jnp.float32)
+    if bias is not None:
+        # additive (..., Q, K) bias (typically (B, 1, 1, K) from
+        # mask_to_bias) -> (..., K, Q)
+        s = s + jnp.swapaxes(bias.astype(jnp.float32), -1, -2)
+    m = jnp.max(s, axis=2, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=2, keepdims=True)
+    out = jnp.einsum("bhkq,bkhd->bqhd", p.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
 def _host_rotary(x, cos, sin):
     """(B, S, H, D) partial rotary outside the kernel (fallback paths)."""
     rot = cos.shape[-1]
@@ -344,6 +381,11 @@ def fused_attention(
     if rotary is not None:
         q = _host_rotary(q, *rotary)
         k = _host_rotary(k, *rotary)
+    if (K <= 64 and K < Q and H == k.shape[2]
+            and os.environ.get("AEC_SMALL_KV_ATTN", "0") == "1"):
+        # tiny-K cross attention, transposed score layout: measured NEUTRAL
+        # in-model (PERF_NOTES.md 2026-08-19 A/B), default off
+        return _small_kv_attention(q, k, v, bias)
     if bias is None and Q == K and Q >= 8192 and H == k.shape[2]:
         # kernel-ineligible long self-attention: dense XLA would put the
         # full (S, S) score matrix in HBM (24 GB at S=16k batch 24)

@@ -226,3 +226,71 @@ class TestRotaryInKernel:
                                        atol=2e-5, rtol=2e-5)
         finally:
             del os.environ["PALLAS_INTERPRET_ATTENTION"]
+
+
+class TestSmallKvCrossAttention:
+    """Transposed-layout cross attention for tiny key counts (K << 128):
+    exact parity with jax.nn.dot_product_attention."""
+
+    def _qkv(self, B=2, Q=256, K=8, H=4, D=16, seed=11):
+        rngs = jax.random.split(jax.random.PRNGKey(seed), 3)
+        q = jax.random.normal(rngs[0], (B, Q, H, D))
+        k = jax.random.normal(rngs[1], (B, K, H, D))
+        v = jax.random.normal(rngs[2], (B, K, H, D))
+        return q, k, v
+
+    def test_parity_no_bias(self):
+        from audioeditingcode_tpu.ops.flash_attention import _small_kv_attention
+
+        q, k, v = self._qkv()
+        ref = jax.nn.dot_product_attention(q, k, v)
+        got = _small_kv_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_parity_with_mask_bias(self):
+        from audioeditingcode_tpu.models.attention import mask_to_bias
+        from audioeditingcode_tpu.ops.flash_attention import _small_kv_attention
+
+        q, k, v = self._qkv(K=8)
+        mask = jnp.asarray([[1, 1, 1, 0, 0, 0, 0, 0], [1] * 8], jnp.float32)
+        bias = mask_to_bias(mask, jnp.float32)
+        ref = jax.nn.dot_product_attention(q, k, v, bias=bias)
+        got = _small_kv_attention(q, k, v, bias)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_dispatcher_routes_small_k(self):
+        """fused_attention output is identical whether the small-K path is
+        enabled via AEC_SMALL_KV_ATTN=1 or left at the default (off —
+        measured neutral in-model, PERF_NOTES.md)."""
+        q, k, v = self._qkv(K=4, seed=12)
+        ref = fused_attention(q, k, v)
+        os.environ["AEC_SMALL_KV_ATTN"] = "1"
+        try:
+            got = fused_attention(q, k, v)
+        finally:
+            del os.environ["AEC_SMALL_KV_ATTN"]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_single_key_degenerates_to_value(self):
+        # K=1: softmax over one key -> output == v broadcast over queries
+        from audioeditingcode_tpu.ops.flash_attention import _small_kv_attention
+
+        q, k, v = self._qkv(K=1, seed=13)
+        got = _small_kv_attention(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(got), np.broadcast_to(np.asarray(v), got.shape),
+            atol=2e-5, rtol=2e-5)
+
+    def test_bf16_inputs(self):
+        from audioeditingcode_tpu.ops.flash_attention import _small_kv_attention
+
+        q, k, v = (x.astype(jnp.bfloat16) for x in self._qkv(seed=14))
+        ref = jax.nn.dot_product_attention(q, k, v)
+        got = _small_kv_attention(q, k, v)
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=2e-2, rtol=2e-2)
