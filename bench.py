@@ -43,6 +43,7 @@ import time
 # before any tunnel flakiness or driver timeout can kill the run.
 FAMILIES = [
     "cvssp/audioldm2-music",
+    "cvssp/audioldm2-music:empty_src",
     "stabilityai/stable-audio-open-1.0",
     "stabilityai/stable-audio-open-1.0:empty_src",
     "cvssp/audioldm-s-full-v2",
@@ -76,8 +77,17 @@ def _timed_reps(edit, bundle, w0):
     return (time.perf_counter() - t0) / N_REP
 
 
-def bench_mel(model_id: str, steps: int, dtype_s: str) -> dict:
-    """UNet-family edit: inversion (steps) + reverse (steps//2)."""
+def bench_mel(model_id: str, steps: int, dtype_s: str,
+              empty_src: bool = False) -> dict:
+    """UNet-family edit: inversion (steps) + reverse (steps//2).
+
+    empty_src=True benches the REFERENCE-DEFAULT CLI flow: main_run.py's
+    --source_prompt defaults to "" and the reference inversion then skips
+    the cond forward entirely (inversion_utils.py:85-86 guards on
+    prompts[0] != ""), so the forward pass is a batch-1 uncond step —
+    exact math, and what our cli/run.py also does (src=None when the
+    source prompt is empty). The default row keeps the worst-case batch-2
+    CFG forward in BOTH scans for round-over-round comparability."""
     import jax
     import jax.numpy as jnp
 
@@ -113,11 +123,16 @@ def bench_mel(model_id: str, steps: int, dtype_s: str) -> dict:
     def edit(bundle, w0, rng):
         p = pipe.bind({**bundle["params"], "sched": bundle["sched"]})
         denoise = p.make_denoiser(bundle["uncond"], bundle["tgt"], bundle["cfg_t"])
-        _, zs, xts = inversion_forward_process(p.sched, denoise, w0, rng)
+        fwd_den = (p.make_denoiser(bundle["uncond"], None, None)
+                   if empty_src else denoise)
+        _, zs, xts = inversion_forward_process(p.sched, fwd_den, w0, rng)
         return inversion_reverse_process(p.sched, denoise, xts, zs[:tstart])
 
     dt = _timed_reps(edit, bundle, w0)
-    return _row(model_id, dtype_s, steps + tstart, dt, list(spec_shape))
+    row = _row(model_id, dtype_s, steps + tstart, dt, list(spec_shape))
+    if empty_src:
+        row["config"] = "empty_src_batch1_fwd"
+    return row
 
 
 def bench_stable_audio(model_id: str, steps: int, dtype_s: str,
@@ -221,7 +236,8 @@ def run_family(spec: str) -> dict:
     if "stable-audio" in model_id:
         return bench_stable_audio(model_id, sa_steps, dtype_s,
                                   empty_src=(variant == "empty_src"))
-    return bench_mel(model_id, steps, dtype_s)
+    return bench_mel(model_id, steps, dtype_s,
+                     empty_src=(variant == "empty_src"))
 
 
 def _result_line(rows: list, note: str = "") -> str:
