@@ -19,6 +19,14 @@ Variants:
   no_ff          both streams keep attention, skip the GEGLU FF
   xla_attn       Pallas self-attention kernel disabled (XLA everywhere)
 
+Program-bisect variants (the model untouched; the PROGRAM around the
+denoiser varies — round-3 finding: the raw CFG step measures ~15 ms while
+the full edit program's per-step cost is ~26.5 ms, so the overhead lives
+in the edit program, not the model):
+  fwd_only       inversion_forward_process alone (200 steps)
+  rev_only       inversion_reverse_process alone on synthetic xts/zs (100)
+  edit           the full bench-identical two-scan edit program (300)
+
 Each variant runs in a FRESH subprocess (fast-init memoization and the
 Pallas dispatch constants are process-global, and the axon tunnel prefers
 short-lived processes). Run on the real TPU:
@@ -54,8 +62,8 @@ def apply_variant(variant: str) -> None:
     from audioeditingcode_tpu.models import attention, registry, unet2d
     from audioeditingcode_tpu.ops import flash_attention
 
-    if variant == "baseline":
-        return
+    if variant in ("baseline", "fwd_only", "rev_only", "edit"):
+        return  # program-bisect variants leave the model untouched
     if variant == "xla_attn":
         flash_attention._MIN_SEQ_FOR_KERNEL = 1 << 30
         return
@@ -140,6 +148,62 @@ def time_variant(variant: str, steps: int, reps: int) -> float:
         "sched": pipe.sched,
     }
     x0 = jax.random.normal(jax.random.PRNGKey(0), spec_shape, jnp.float32)
+
+    if variant in ("fwd_only", "rev_only", "edit"):
+        from audioeditingcode_tpu.editing.invert import (
+            inversion_forward_process,
+            inversion_reverse_process,
+        )
+
+        S = int(os.environ.get("UNET2_PROBE_S", "200"))
+        tstart = S // 2
+
+        if variant == "fwd_only":
+            steps = S
+
+            @jax.jit
+            def run(bundle, x0, rng):
+                p = pipe.bind({**bundle["params"], "sched": bundle["sched"]})
+                den = p.make_denoiser(bundle["uncond"], bundle["tgt"],
+                                      bundle["cfg_t"])
+                x, _, _ = inversion_forward_process(p.sched, den, x0, rng)
+                return x
+        elif variant == "rev_only":
+            steps = tstart
+            xts0 = jax.random.normal(
+                jax.random.PRNGKey(1), (S + 1,) + spec_shape, jnp.float32)
+            zs0 = jax.random.normal(
+                jax.random.PRNGKey(2), (tstart,) + spec_shape, jnp.float32)
+
+            @jax.jit
+            def run(bundle, xts, zs):
+                p = pipe.bind({**bundle["params"], "sched": bundle["sched"]})
+                den = p.make_denoiser(bundle["uncond"], bundle["tgt"],
+                                      bundle["cfg_t"])
+                return inversion_reverse_process(p.sched, den, xts, zs)
+        else:  # edit — the bench_mel program verbatim
+            steps = S + tstart
+
+            @jax.jit
+            def run(bundle, x0, rng):
+                p = pipe.bind({**bundle["params"], "sched": bundle["sched"]})
+                den = p.make_denoiser(bundle["uncond"], bundle["tgt"],
+                                      bundle["cfg_t"])
+                _, zs, xts = inversion_forward_process(p.sched, den, x0, rng)
+                return inversion_reverse_process(p.sched, den, xts,
+                                                 zs[:tstart])
+
+        args = ((bundle, xts0, zs0) if variant == "rev_only"
+                else (bundle, x0, jax.random.PRNGKey(3)))
+        np.asarray(run(*args))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = np.asarray(run(*args))
+        dt = (time.perf_counter() - t0) / reps / steps
+        # synthetic rev_only inputs may be non-physical; skip finite check
+        if variant != "rev_only":
+            assert np.isfinite(out.astype(np.float32)).all()
+        return dt * 1e3
 
     @jax.jit
     def run(bundle, x0):
