@@ -41,16 +41,22 @@ def test_streams_cumulative_line_per_family_headline_first():
     proc = _run({})
     assert proc.returncode == 0, proc.stderr
     lines = _json_lines(proc.stdout)
-    # one cumulative line per family spec (6 specs)
-    assert len(lines) == 6
+    # one cumulative line per family spec (7 specs)
+    assert len(lines) == 7
     # the FIRST line already carries the headline family — a driver kill
     # after family 1 still records the most important number
     first = lines[0]
     assert first["detail"]["families"][0]["model"] == "cvssp/audioldm2-music"
     assert first["value"] > 0
+    # the headline is re-measured in a second fresh process (VERDICT r3 #1)
+    head = first["detail"]["families"][0]
+    assert head["consistency"] == "two_run_agreement"
+    assert head["consistency_runs"] == [50.0, 50.0]
     last = lines[-1]
-    assert len(last["detail"]["families"]) == 6
+    assert len(last["detail"]["families"]) == 7
     assert last["metric"] == "unet_steps_per_sec_per_chip"
+    # the worst-case headline config is labelled in the top-level detail
+    assert last["detail"]["config"] == "worst_case_batch2_cfg"
     assert "note" not in last["detail"]
 
 
@@ -62,7 +68,8 @@ def test_failed_family_is_retried_then_skipped_without_killing_run():
     assert proc.returncode == 0, proc.stderr
     last = _json_lines(proc.stdout)[-1]
     models = [r["model"] for r in last["detail"]["families"]]
-    assert models == ["cvssp/audioldm2-music"]
+    # the model filter keeps both audioldm2 configs (worst-case + empty_src)
+    assert models == ["cvssp/audioldm2-music", "cvssp/audioldm2-music"]
     assert "tango" in last["detail"]["note"]
     # non-headline families get 2 attempts
     assert proc.stderr.count("tango-full-ft-audiocaps attempt") == 2
@@ -75,7 +82,9 @@ def test_headline_failure_falls_back_to_first_completed_row():
     })
     assert proc.returncode == 0, proc.stderr
     last = _json_lines(proc.stdout)[-1]
-    assert last["value"] > 0  # falls back to rows[0]
+    assert last["value"] > 0  # falls back to the empty_src headline row
+    # ... but the fallback's easier config is labelled (r3 advisor finding)
+    assert last["detail"]["config"] == "empty_src_batch1_fwd"
     assert "audioldm2-music" in last["detail"]["note"]
     # headline gets an extra (3rd) attempt
     assert proc.stderr.count("audioldm2-music attempt") == 3
@@ -100,6 +109,45 @@ def test_models_env_filters_and_keeps_both_stable_audio_configs():
     assert len(fams) == 2
     assert fams[0].get("config") is None
     assert fams[1]["config"] == "empty_src_batch1_fwd"
+
+
+def test_headline_disagreement_resolved_by_third_run(tmp_path):
+    """Two fresh-process headline runs that disagree >15% trigger a third;
+    the outlier is dropped and the faster of the consistent pair wins
+    (VERDICT r3 #1: wall time is bounded below by device execution, so a
+    degraded tunnel/chip can only make a run SLOWER than the truth)."""
+    seq = tmp_path / "vals.txt"
+    seq.write_text("50,30,48")
+    proc = _run({
+        "BENCH_MODELS": "cvssp/audioldm2-music",
+        "BENCH_FAKE_VALUE_FILE": str(seq),
+    })
+    assert proc.returncode == 0, proc.stderr
+    last = _json_lines(proc.stdout)[-1]
+    head = last["detail"]["families"][0]
+    assert head["consistency"] == "third_run_majority"
+    assert head["consistency_runs"] == [50.0, 30.0, 48.0]
+    # 30 is the outlier; 50 is the faster of the consistent (50, 48) pair
+    assert last["value"] == 50.0
+
+
+def test_stalled_family_is_remeasured(tmp_path):
+    """A non-headline family whose reps show >1.3x spread (an intra-process
+    tunnel stall) is re-measured in another fresh process."""
+    seq = tmp_path / "vals.txt"
+    seq.write_text("20,50")
+    proc = _run({
+        "BENCH_MODELS": "cvssp/audioldm-s-full-v2",
+        "BENCH_FAKE_VALUE_FILE": str(seq),
+        "BENCH_FAKE_SPREAD": "2.0",
+    })
+    assert proc.returncode == 0, proc.stderr
+    last = _json_lines(proc.stdout)[-1]
+    row = last["detail"]["families"][0]
+    # both runs recorded; the disagreement (20 vs 50) forces a third try,
+    # which has no value left in the sequence file and falls back to 50.0
+    assert row["steps_per_sec_per_chip"] >= 50.0
+    assert len(row["consistency_runs"]) >= 2
 
 
 def test_backend_down_emits_parseable_empty_line(monkeypatch, capsys):
