@@ -211,9 +211,13 @@ def log_pc_corrs(wandb, corrs, in_corrs, eigvals, n_evs: int) -> None:
     # iteration as a DATA FIELD rather than step=: wandb drops log calls
     # whose step goes backwards, and the in_corr plot logs above already
     # advanced the run's auto-step past 0, so any explicit step=it restart
-    # would silently discard the first iterations (plot eigval_* against
-    # eigval_iter).
+    # would silently discard the first iterations. define_metric binds the
+    # default charts to eigval_iter so they render against the iteration.
     if eigvals.size:
+        try:
+            wandb.define_metric("eigval_*", step_metric="eigval_iter")
+        except AttributeError:  # older wandb without define_metric
+            pass
         for it in range(eigvals.shape[0]):
             row = {f"eigval_{ev}": float(eigvals[it, ev])
                    for ev in range(n_evs)}

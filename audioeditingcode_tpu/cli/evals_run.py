@@ -27,8 +27,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="directory of original input wavs (else sibling orig.wav)")
     p.add_argument("--fad_gen_dir", type=str, default=None,
                    help="generation dir for FAD")
+    p.add_argument("--fad_gen_dirs", type=str, nargs="*", default=[],
+                   metavar="SKIP=DIR",
+                   help="per-skip generation dirs (e.g. 150=out/skip150) "
+                        "for the UnsupEval FAD-vs-FAD sweep table/scatter")
     p.add_argument("--fad_ref_dirs", type=str, nargs="*", default=[],
-                   help="reference dirs for FAD (e.g. originals, FMA-pop)")
+                   help="reference dirs for FAD (e.g. originals, FMA-pop); "
+                        "the FIRST is treated as the originals axis of the "
+                        "scatter (reference UnsupEval.ipynb cell 16)")
     p.add_argument("--clap_model", type=str, default=None,
                    help="HF id/path of a CLAP checkpoint; defaults to the "
                         "reference LPAPS/consistency protocol checkpoint "
@@ -50,7 +56,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--method", type=str, default="mean",
                    choices=["mean", "median", "max", "min"])
     p.add_argument("--out_dir", type=str, default="eval_scores")
+    p.add_argument("--plots", action="store_true",
+                   help="render the notebook figures next to the CSVs: "
+                        "CLAP-vs-LPAPS trade-off curves per sweep dim "
+                        "(SupEval cells 10-14) and the FAD scatter "
+                        "(UnsupEval cell 16)")
+    p.add_argument("--total_steps", type=int, default=200,
+                   help="diffusion steps of the evaluated runs; used only "
+                        "to annotate plot points with tstart = steps - skip")
     return p
+
+
+def _ref_name(i: int, ref_dir: str) -> str:
+    """Column name for a FAD reference set: the first --fad_ref_dirs entry
+    is the originals axis (`orig`), others keep their directory name."""
+    if i == 0:
+        return "orig"
+    return os.path.basename(os.path.normpath(ref_dir)) or f"ref{i}"
 
 
 def main(argv=None):
@@ -103,6 +125,48 @@ def main(argv=None):
             method_comparison_table(dfs).to_csv(out, index=False)
             outputs.append(out)
             print(f"[+] wrote {out}")
+        if args.plots and dfs:
+            from ..evals.figures import save_eval_figures
+
+            for fig_path in save_eval_figures(dfs, args.out_dir,
+                                              total_steps=args.total_steps):
+                outputs.append(fig_path)
+                print(f"[+] wrote {fig_path}")
+
+    if args.fad_gen_dirs:
+        import json
+
+        from ..evals.features import fad_extractor
+        from ..evals.scores import unsupervised_fad_table
+
+        if not args.fad_ref_dirs:
+            raise SystemExit("--fad_gen_dirs needs --fad_ref_dirs")
+        fad_ext = fad_extractor(backend=args.clap_backend,
+                                allow_mel_fallback=args.allow_mel_fallback)
+        scorer = FADScorer(fad_ext, window_size_s=args.win_length or 10.0,
+                           overlap=args.overlap)
+        by_skip = {}
+        for spec in args.fad_gen_dirs:
+            skip_s, _, gen_dir = spec.partition("=")
+            if not gen_dir:
+                raise SystemExit(f"--fad_gen_dirs wants SKIP=DIR, got {spec!r}")
+            by_skip[int(skip_s)] = {
+                _ref_name(i, ref): scorer.score_dirs(gen_dir, ref)
+                for i, ref in enumerate(args.fad_ref_dirs)}
+        fad_df = unsupervised_fad_table(by_skip)
+        out = os.path.join(args.out_dir, "fad_by_skip.csv")
+        fad_df.to_csv(out, index=False)
+        outputs.append(out)
+        print(f"[+] wrote {out}")
+        if args.plots:
+            from ..evals.figures import fad_scatter_figure
+
+            fig = fad_scatter_figure(fad_df, total_steps=args.total_steps)
+            if fig is not None:
+                out = os.path.join(args.out_dir, "fad_scatter.png")
+                fig.savefig(out, dpi=120)
+                outputs.append(out)
+                print(f"[+] wrote {out}")
 
     if args.fad_gen_dir:
         import json

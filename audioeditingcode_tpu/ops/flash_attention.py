@@ -193,16 +193,17 @@ def _small_kv_attention(q, k, v, bias=None):
     37.71 vs 37.79 steps/s/chip, 2026-08-19 A/B — XLA's fusion already
     hides the tiny-K relayouts behind the surrounding matmuls), so the
     dispatcher default is OFF; kept behind AEC_SMALL_KV_ATTN=1 for
-    re-measurement on future shapes. Exact same math as
-    ``jax.nn.dot_product_attention`` (f32 softmax, additive bias); matmul
-    inputs stay in the model dtype for the MXU.
+    re-measurement on future shapes. Matches ``jax.nn.dot_product_attention``
+    math (f32 softmax/logit scaling, additive bias) with matmul inputs kept
+    in the model dtype for the MXU; the 1/sqrt(D) scale is applied to the
+    f32 logits AFTER the QK^T einsum, so no extra low-precision rounding is
+    introduced on q.
     """
     D = q.shape[-1]
     scale = 1.0 / (D ** 0.5)
-    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
     # (B, H, K, Q): Q minor/lane-major
-    s = jnp.einsum("bkhd,bqhd->bhkq", k, qs,
-                   preferred_element_type=jnp.float32)
+    s = jnp.einsum("bkhd,bqhd->bhkq", k, q,
+                   preferred_element_type=jnp.float32) * scale
     if bias is not None:
         # additive (..., Q, K) bias (typically (B, 1, 1, K) from
         # mask_to_bias) -> (..., K, Q)

@@ -281,6 +281,90 @@ class TestTradeoffTables:
         assert "fma_pop" in t.columns
 
 
+class TestFigures:
+    """Figure rendering from the tidy score tables (VERDICT r3 #7 — the
+    reference renders these inside SupEval.ipynb cells 10-14 and
+    UnsupEval.ipynb cell 16; here they're plain functions over the CSVs)."""
+
+    def _dfs(self):
+        import numpy as np
+        import pandas as pd
+
+        ours = pd.DataFrame([
+            {"skip": s, "tarcfg": t, "srccfg": 3.0,
+             "clap": 0.3 + 0.001 * s + 0.01 * t,
+             "lpaps": 2.0 - 0.005 * s}
+            for s in (100, 120, 140, 160) for t in (8.0, 12.0)
+        ])
+        sdedit = pd.DataFrame([
+            {"skip": s, "tarcfg": 12.0, "clap": 0.25 + 0.001 * s,
+             "lpaps": 2.5 - 0.004 * s} for s in (100, 130, 160)
+        ])
+        musicgen = pd.DataFrame([
+            {"skip": np.nan, "tarcfg": np.nan, "srccfg": np.nan,
+             "clap": 0.5, "lpaps": 3.0},
+        ])
+        return {"ours": ours, "sdedit": sdedit, "musicgen": musicgen}
+
+    def test_tradeoff_figure_curves_and_points(self):
+        from audioeditingcode_tpu.evals.figures import tradeoff_figure
+
+        fig = tradeoff_figure(self._dfs(), sweep="skip")
+        assert fig is not None
+        ax = fig.axes[0]
+        labels = [ln.get_label() for ln in ax.get_lines()]
+        # curves for the sweeping lanes, a point for the flat baseline
+        assert {"ours", "sdedit", "musicgen"} <= set(labels)
+        ours_line = next(ln for ln in ax.get_lines()
+                         if ln.get_label() == "ours")
+        # the ours curve has one point per skip at the dominant cfgs
+        assert len(ours_line.get_xdata()) == 4
+        # tstart annotations (200 - skip), notebook-style
+        texts = {t.get_text() for t in ax.texts}
+        assert {"100", "80", "60", "40"} <= texts
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+
+    def test_save_eval_figures_writes_per_sweep_pngs(self, tmp_path):
+        from audioeditingcode_tpu.evals.figures import save_eval_figures
+
+        written = save_eval_figures(self._dfs(), str(tmp_path))
+        names = {os.path.basename(p) for p in written}
+        # skip always; tarcfg varies in ours; srccfg is constant -> absent
+        assert names == {"tradeoff_skip.png", "tradeoff_tarcfg.png"}
+        for p in written:
+            assert os.path.getsize(p) > 1000
+
+    def test_fad_scatter(self, tmp_path):
+        from audioeditingcode_tpu.evals.figures import fad_scatter_figure
+        from audioeditingcode_tpu.evals.scores import unsupervised_fad_table
+
+        t = unsupervised_fad_table({150: {"orig": 1.2, "fma_pop": 4.0},
+                                    100: {"orig": 2.0, "fma_pop": 3.1},
+                                    85: {"orig": 2.4, "fma_pop": 3.0}})
+        fig = fad_scatter_figure(t)
+        assert fig is not None
+        ax = fig.axes[0]
+        xs = list(ax.get_lines()[0].get_xdata())
+        # plotted in ascending-skip order; orig-FAD shrinks as skip grows
+        assert xs == sorted(xs, reverse=True)
+        texts = {t_.get_text() for t_ in ax.texts}
+        assert {"115", "100", "50"} <= texts  # tstart = 200 - skip
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+
+    def test_eval_cli_has_plot_flags(self):
+        from audioeditingcode_tpu.cli.evals_run import build_parser
+
+        args = build_parser().parse_args(
+            ["--plots", "--fad_gen_dirs", "150=/g150", "100=/g100",
+             "--fad_ref_dirs", "/orig", "/fma_pop", "--total_steps", "200"])
+        assert args.plots and args.total_steps == 200
+        assert args.fad_gen_dirs == ["150=/g150", "100=/g100"]
+
+
 class TestClapOracle:
     """The torch-CLAP oracle extractor's plumbing, on a tiny RANDOM-weight
     CLAP (no checkpoint downloads — validates shapes/axes, not semantics)."""

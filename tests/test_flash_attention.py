@@ -266,11 +266,17 @@ class TestSmallKvCrossAttention:
         measured neutral in-model, PERF_NOTES.md)."""
         q, k, v = self._qkv(K=4, seed=12)
         ref = fused_attention(q, k, v)
+        prior = os.environ.get("AEC_SMALL_KV_ATTN")
         os.environ["AEC_SMALL_KV_ATTN"] = "1"
         try:
             got = fused_attention(q, k, v)
         finally:
-            del os.environ["AEC_SMALL_KV_ATTN"]
+            # restore rather than delete: the suite may be launched with the
+            # var preset (the documented re-measurement workflow)
+            if prior is None:
+                del os.environ["AEC_SMALL_KV_ATTN"]
+            else:
+                os.environ["AEC_SMALL_KV_ATTN"] = prior
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
 
