@@ -46,18 +46,97 @@ def test_sharded_edit_matches_single_device():
 
     ref = np.asarray(jax.jit(edit)(w0, jax.random.PRNGKey(1)))
 
+    # CLI-faithful form: params travel as jit ARGUMENTS carrying their
+    # NamedShardings (cli/run.py threads pipe.params_dict() the same way).
+    # Closure-captured params would be baked into the program as full-size
+    # constants and the "sharded" run would silently compile single-device
+    # — see test_tp_compiled_collectives_move_activations_not_weights.
     mesh = make_mesh(4)
     pipe.unet_params = shard_module_params(pipe.unet_params, mesh)
-    denoise_sharded = pipe.make_denoiser(uncond, tgt, cfg_t)
+    params = pipe.params_dict()
 
-    def edit_sharded(w0, rng):
-        _, zs, xts = inversion_forward_process(pipe.sched, denoise_sharded, w0, rng)
-        return inversion_reverse_process(pipe.sched, denoise_sharded, xts, zs[:3])
+    @jax.jit
+    def edit_sharded(params, w0, rng):
+        p = pipe.bind(params)
+        den = p.make_denoiser(uncond, tgt, cfg_t)
+        _, zs, xts = inversion_forward_process(p.sched, den, w0, rng)
+        return inversion_reverse_process(p.sched, den, xts, zs[:3])
 
     with mesh:
-        out = np.asarray(jax.jit(edit_sharded)(w0, jax.random.PRNGKey(1)))
+        out = np.asarray(edit_sharded(params, w0, jax.random.PRNGKey(1)))
 
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 virtual devices")
+def test_tp_compiled_collectives_move_activations_not_weights():
+    """tp must communicate ACTIVATIONS, not weights (VERDICT r3 #6).
+
+    shard_module_params shards every kernel's output-channel axis and lets
+    GSPMD insert the collectives (parallel/mesh.py:9-11). The whole value
+    of tp on a real ICI mesh is that the per-step traffic is activation
+    gathers/reductions — if GSPMD instead fell back to re-assembling full
+    weight matrices every step, tp would move the entire model per step
+    and be strictly worse than replication. With one real chip available,
+    the honest proxy is an HLO-text assertion on the CPU mesh: compile the
+    CLI-faithful params-as-arguments CFG step and check (a) the program is
+    actually partitioned, (b) no all-gather result is weight-shaped."""
+    import re
+
+    from audioeditingcode_tpu.models.registry import load_model
+    from audioeditingcode_tpu.editing.cfg import build_cfg_tensors
+    from audioeditingcode_tpu.parallel.mesh import make_mesh, shard_module_params
+
+    pipe = load_model("test/tiny-audioldm", num_diffusion_steps=4, latent_time=16)
+    shape = (1, 4, 16, 32)
+    uncond = pipe.encode_text([""])
+    tgt = pipe.encode_text(["x"])
+    cfg_t, _ = build_cfg_tensors(shape, ["x"], [4.0])
+    mesh = make_mesh(4, dp=1, tp=4)
+
+    # full (pre-shard) kernel shapes that _param_spec shards over tp=4
+    tp_kernel_shapes = set()
+    for path, x in jax.tree_util.tree_leaves_with_path(pipe.unet_params):
+        leaf = getattr(path[-1], "key", getattr(path[-1], "name", ""))
+        if leaf == "kernel" and x.ndim >= 2 and x.shape[-1] % 4 == 0:
+            tp_kernel_shapes.add(tuple(x.shape))
+    assert tp_kernel_shapes, "no tp-shardable kernels found"
+
+    pipe.unet_params = shard_module_params(pipe.unet_params, mesh)
+    params = pipe.params_dict()
+    xt = jax.random.normal(jax.random.PRNGKey(0), shape)
+
+    @jax.jit
+    def step(params, x):
+        p = pipe.bind(params)
+        den = p.make_denoiser(uncond, tgt, cfg_t)
+        return den(x, jnp.asarray(2))
+
+    with mesh:
+        txt = step.lower(params, xt).compile().as_text()
+
+    # (a) really partitioned: GSPMD produced a 4-partition program with
+    # collectives (a closure-captured-params build compiles single-device
+    # with zero collectives — the failure mode this test pins down)
+    n_collectives = sum(txt.count(k) for k in
+                        ("all-gather(", "all-reduce(", "reduce-scatter(",
+                         "collective-permute("))
+    assert "num_partitions=4" in txt
+    assert n_collectives > 0
+
+    # (b) no all-gather result re-assembles a full weight matrix: every
+    # gather output must differ from every sharded kernel's full shape
+    # (any axis order — GSPMD may transpose)
+    gather_shapes = set()
+    for m in re.finditer(r"= \w+\[([\d,]*)\][^\n]*\ball-gather\(", txt):
+        dims = tuple(int(d) for d in m.group(1).split(",") if d)
+        if dims:
+            gather_shapes.add(dims)
+    assert gather_shapes, "partitioned program with no all-gathers?"
+    kernel_sorted = {tuple(sorted(s)) for s in tp_kernel_shapes}
+    for g in gather_shapes:
+        assert tuple(sorted(g)) not in kernel_sorted, (
+            f"all-gather re-assembles a weight matrix: {g}")
 
 
 @pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 virtual devices")
