@@ -98,21 +98,22 @@ def _attn_core(q, k, v, o_ref, *, kv_len: int):
     o_ref[0] = (o / denom).astype(o_ref.dtype)
 
 
-def _block_q(seq: int, kv_bytes: int) -> int:
-    # two f32 (bq, S) temporaries (scores + probs) must fit beside the full
-    # lane-padded K/V blocks inside the 16 MB scoped-VMEM ceiling
+def _block_q(seq_q: int, kv_bytes: int, seq_kv: Optional[int] = None) -> int:
+    # two f32 (bq, S_kv) temporaries (scores + probs) must fit beside the
+    # full lane-padded K/V blocks inside the 16 MB scoped-VMEM ceiling
+    seq_kv = seq_q if seq_kv is None else seq_kv
     budget = max((12 << 20) - kv_bytes, 1 << 20)
-    bq = max(1, min(budget // (8 * seq), _MAX_SCORE_ELEMS // seq))
-    bq = min(bq, seq, 1024)
-    if bq >= seq:
-        return seq
-    # largest divisor of seq that is <= bq AND a sublane multiple — Mosaic
+    bq = max(1, min(budget // (8 * seq_kv), _MAX_SCORE_ELEMS // seq_kv))
+    bq = min(bq, seq_q, 1024)
+    if bq >= seq_q:
+        return seq_q
+    # largest divisor of seq_q that is <= bq AND a sublane multiple — Mosaic
     # requires block sizes divisible by 8 unless equal to the full dim
-    # (callers pad seq to %8, so bq=8 always qualifies)
+    # (callers pad seq_q to %8, so bq=8 always qualifies)
     for cand in range(bq - bq % 8, 7, -8):
-        if seq % cand == 0:
+        if seq_q % cand == 0:
             return cand
-    return seq
+    return seq_q
 
 
 @functools.lru_cache(maxsize=2)
@@ -226,60 +227,77 @@ def _host_rotary(x, cos, sin):
     return jnp.concatenate([out.astype(x.dtype), x[..., rot:]], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _blocked_attention(q, k, v, rotary=None, interpret: bool = False):
-    """(B, S, H, D) self-attention, scores never leave VMEM.
+@functools.partial(jax.jit, static_argnames=("interpret", "kv_len"))
+def _blocked_attention(q, k, v, rotary=None, interpret: bool = False,
+                       kv_len: Optional[int] = None):
+    """(B, Sq, H, D) x (B, Skv, H_kv, D) attention, scores never leave VMEM.
 
-    Sequences that are not a sublane multiple (e.g. the DiT's 1024+1 global
-    token) are zero-padded to %8; padded key columns are masked inside the
-    kernel and padded query rows sliced off here.
+    ``kv_len`` overrides the number of REAL keys when the caller already
+    padded the key axis (the sp wrapper pads the global sequence to a
+    shard multiple before gathering K/V); defaults to k.shape[1].
+
+    Square (Sq == Skv) for single-chip self-attention; rectangular when the
+    sequence-parallel wrapper (``_sp_blocked_attention``) hands each shard
+    its local query block against the sp-gathered full K/V. Sequences that
+    are not a sublane multiple (e.g. the DiT's 1024+1 global token) are
+    zero-padded to %8; padded key columns are masked inside the kernel and
+    padded query rows sliced off here.
 
     Grouped-query attention: k/v may carry fewer heads than q (H_kv | H) —
     the grid index map points each query head at its kv group, so shared
     K/V is never materialized H/H_kv times in HBM."""
-    B, S0, H, D = q.shape
+    B, Sq0, H, D = q.shape
+    Sk_arr = k.shape[1]           # keys present in the array
+    Sk0 = kv_len if kv_len is not None else Sk_arr  # keys that are REAL
     H_kv = k.shape[2]
     rep = H // H_kv
-    S = -(-S0 // 8) * 8
-    if S != S0:
-        pad = ((0, 0), (0, S - S0), (0, 0), (0, 0))
-        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    Sq = -(-Sq0 // 8) * 8
+    Sk = -(-Sk_arr // 8) * 8
+    if Sq != Sq0:
+        q = jnp.pad(q, ((0, 0), (0, Sq - Sq0), (0, 0), (0, 0)))
+    if Sk != Sk_arr:
+        pad = ((0, 0), (0, Sk - Sk_arr), (0, 0), (0, 0))
+        k, v = jnp.pad(k, pad), jnp.pad(v, pad)
     scale = 1.0 / (D ** 0.5)
-    qt = q.transpose(0, 2, 1, 3).reshape(B * H, S, D)
-    kt = k.transpose(0, 2, 1, 3).reshape(B * H_kv, S, D)
-    vt = v.transpose(0, 2, 1, 3).reshape(B * H_kv, S, D)
+    qt = q.transpose(0, 2, 1, 3).reshape(B * H, Sq, D)
+    kt = k.transpose(0, 2, 1, 3).reshape(B * H_kv, Sk, D)
+    vt = v.transpose(0, 2, 1, 3).reshape(B * H_kv, Sk, D)
 
     def kv_index(i, j):
         return ((i // H) * H_kv + (i % H) // rep, 0, 0)
 
-    bq = _block_q(S, _kv_vmem_bytes(S, D, q.dtype.itemsize))
-    grid = (B * H, S // bq)
+    bq = _block_q(Sq, _kv_vmem_bytes(Sk, D, q.dtype.itemsize), Sk)
+    grid = (B * H, Sq // bq)
     in_specs = [
         pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, S, D), kv_index, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, S, D), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Sk, D), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Sk, D), kv_index, memory_space=pltpu.VMEM),
     ]
     operands = [qt, kt, vt]
     if rotary is None:
-        kernel = functools.partial(_attn_kernel, scale=scale, kv_len=S0)
+        kernel = functools.partial(_attn_kernel, scale=scale, kv_len=Sk0)
     else:
+        # in-kernel rotary tables index q rows by GLOBAL position — only
+        # meaningful on the square single-chip path (the sp wrapper applies
+        # rotary on the host before sharding)
+        assert Sq0 == Sk0, "in-kernel rotary requires square self-attention"
         cos, sin = rotary
         rot = cos.shape[-1]
-        if cos.shape[0] != S:
-            rpad = ((0, S - cos.shape[0]), (0, 0))
+        if cos.shape[0] != Sk:
+            rpad = ((0, Sk - cos.shape[0]), (0, 0))
             cos, sin = jnp.pad(cos, rpad), jnp.pad(sin, rpad)
         kernel = functools.partial(_attn_rotary_kernel, scale=scale,
-                                   kv_len=S0)
+                                   kv_len=Sk0)
         # the SAME cos/sin arrays twice: query-block rows and full-k rows
         in_specs += [
             pl.BlockSpec((bq, rot), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bq, rot), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, rot), lambda i, j: (0, 0),
+            pl.BlockSpec((Sk, rot), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, rot), lambda i, j: (0, 0),
+            pl.BlockSpec((Sk, rot), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
         operands += [cos, sin, cos, sin]
@@ -292,13 +310,67 @@ def _blocked_attention(q, k, v, rotary=None, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * S * S * D,
-            bytes_accessed=(B * H * S * D + 2 * B * H_kv * S * D
-                            + B * H * S * D) * q.dtype.itemsize,
-            transcendentals=B * H * S * S,
+            flops=4 * B * H * Sq * Sk * D,
+            bytes_accessed=(B * H * Sq * D + 2 * B * H_kv * Sk * D
+                            + B * H * Sq * D) * q.dtype.itemsize,
+            transcendentals=B * H * Sq * Sk,
         ),
     )(*operands)
-    out = out.reshape(B, H, S, D).transpose(0, 2, 1, 3)
+    out = out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
+    return out[:, :Sq0] if Sq != Sq0 else out
+
+
+def _ambient_sp_mesh():
+    """The active ``with mesh:`` Mesh when it carries a real 'sp' axis,
+    else None. Trace-time lookup: the CLIs trace their jitted edit
+    programs inside the mesh context (cli/run.py), so the dispatcher can
+    route sp-sharded self-attention through the shard_map wrapper without
+    any plumbing through the model modules."""
+    try:
+        from jax.interpreters import pxla
+
+        m = pxla.thread_resources.env.physical_mesh
+    except Exception:
+        return None
+    if m is None or m.empty or "sp" not in m.axis_names:
+        return None
+    return m if m.shape["sp"] > 1 else None
+
+
+def _sp_blocked_attention(q, k, v, mesh, interpret: bool = False):
+    """Sequence-parallel Pallas attention: shard_map over the 'sp' axis.
+
+    Each shard runs the blocked kernel on its LOCAL query rows against the
+    sp-gathered full K/V (the gather is ~1.5 MB bf16 per DiT layer — rides
+    ICI, parallel/mesh.py). This keeps the kernel's measured win under
+    --sp instead of silently reverting to XLA attention (the round-3
+    caveat). The global sequence is padded to a (8 * sp) multiple so every
+    shard's block is a sublane multiple; padded keys are masked inside the
+    kernel via kv_len and padded query rows sliced off here. Axes other
+    than 'sp' are unmentioned in the specs, i.e. replicated — the
+    supported sp layout (batch replicated per sp group; dp shards clips at
+    a higher level)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    B, S0, H, D = q.shape
+    sp = mesh.shape["sp"]
+    S = -(-S0 // (8 * sp)) * (8 * sp)
+    if S != S0:
+        pad = ((0, 0), (0, S - S0), (0, 0), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+
+    spec = P(None, "sp", None, None)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec, check_rep=False)
+    def body(ql, kl, vl):
+        kf = jax.lax.all_gather(kl, "sp", axis=1, tiled=True)
+        vf = jax.lax.all_gather(vl, "sp", axis=1, tiled=True)
+        return _blocked_attention(ql, kf, vf, interpret=interpret,
+                                  kv_len=S0)
+
+    out = body(q, k, v)
     return out[:, :S0] if S != S0 else out
 
 
@@ -372,6 +444,17 @@ def fused_attention(
         if backend == "tpu" or interpret:
             # exercised under tests via the interpreter so the kernel
             # logic is covered on CPU too
+            sp_mesh = _ambient_sp_mesh()
+            if sp_mesh is not None:
+                # sequence-parallel: shard_map over 'sp' — each shard's
+                # query block attends to the sp-gathered full K/V, so the
+                # kernel win is kept under --sp (rotary applied on the
+                # host first: the in-kernel tables index global positions)
+                if rotary is not None:
+                    q = _host_rotary(q, *rotary)
+                    k = _host_rotary(k, *rotary)
+                return _sp_blocked_attention(q, k, v, sp_mesh,
+                                             interpret=interpret)
             if rotary_in_kernel:
                 return _batched_rotary_attention(interpret)(
                     q, k, v, rotary[0], rotary[1])

@@ -10,10 +10,11 @@ path); multi-chip scaling is a new first-class component of this framework:
   / attention heads. XLA GSPMD inserts the all-gathers/reduce-scatters over
   ICI from the NamedSharding annotations — no hand-written collectives.
 - 'sp' (sequence axis, opt-in): shards the Stable Audio DiT's latent
-  sequence axis. Pointwise/LN/FF work splits S-ways; GSPMD gathers K/V at
-  the attention einsums (K/V per layer is ~1.5 MB bf16 — cheap on ICI).
-  Rides the XLA attention path; the Pallas kernel is a single-chip
-  specialization (no SPMD partitioning rule).
+  sequence axis. Pointwise/LN/FF work splits S-ways; at self-attention the
+  Pallas kernel runs inside a shard_map over 'sp' — each shard's query
+  block attends to the all-gathered K/V (~1.5 MB bf16 per layer — cheap on
+  ICI; ops/flash_attention._sp_blocked_attention), so --sp keeps the
+  kernel's measured single-chip win.
 
 Pipeline parallelism is deliberately absent: editing is a latency-bound
 300-step sequential scan per clip, where pp only adds bubble latency (dp

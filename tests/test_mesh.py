@@ -259,6 +259,56 @@ def test_sp_sharded_dit_denoise_matches_single_device():
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+@pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 virtual devices")
+def test_sp_mesh_keeps_pallas_kernel(monkeypatch):
+    """Under an sp mesh the attention dispatcher must route through the
+    shard_map-wrapped Pallas kernel — each shard's query block against the
+    sp-gathered K/V — instead of silently reverting to XLA attention and
+    forfeiting the kernel win (VERDICT r3 #5). Exercised in interpret mode
+    on the virtual mesh; asserts both parity and that the sp wrapper
+    actually engaged. Uses an odd sequence length (the DiT's real S=1025
+    has a prepended global token) and grouped K/V heads."""
+    import audioeditingcode_tpu.ops.flash_attention as fa
+    from audioeditingcode_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setenv("PALLAS_INTERPRET_ATTENTION", "1")
+    monkeypatch.setattr(fa, "_MIN_SEQ_FOR_KERNEL", 8)
+
+    B, S, H, Hkv, D = 2, 129, 8, 4, 32
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (B, S, H, D), dtype=jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, S, Hkv, D))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, S, Hkv, D))
+    ref = jax.nn.dot_product_attention(q, k, v)
+
+    calls = []
+    real_sp = fa._sp_blocked_attention
+    monkeypatch.setattr(
+        fa, "_sp_blocked_attention",
+        lambda *a, **kw: (calls.append(1), real_sp(*a, **kw))[1])
+
+    mesh = make_mesh(4, dp=1, tp=2, sp=2)
+    with mesh:
+        out = jax.jit(fa.fused_attention)(q, k, v)
+    assert calls, "sp mesh active but the shard_map kernel path not taken"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # rotary rides the sp path too (applied on the host before sharding)
+    rot = 16
+    ang = (jnp.arange(S, dtype=jnp.float32)[:, None]
+           * jnp.exp(-jnp.arange(rot // 2) / (rot // 2))[None, :])
+    cos = jnp.concatenate([jnp.cos(ang)] * 2, -1)
+    sin = jnp.concatenate([jnp.sin(ang)] * 2, -1)
+    ref_r = jax.nn.dot_product_attention(
+        fa._host_rotary(q, cos, sin), fa._host_rotary(k, cos, sin), v)
+    with mesh:
+        out_r = jax.jit(
+            lambda q, k, v: fa.fused_attention(q, k, v, rotary=(cos, sin))
+        )(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(ref_r),
+                               atol=2e-5)
+
+
 def test_cli_sp_flag_stable_audio(tmp_path):
     """--sp on the edit CLI runs a sequence-parallel Stable Audio edit on a
     ('dp','tp','sp') mesh end-to-end."""
