@@ -1,0 +1,88 @@
+"""Offline test of the real-weight validation runbook's ORCHESTRATION.
+
+tools/validate_real_weights.py is the first-hour task for a
+weights-capable environment (VERDICT r3 #4): download -> manifest check ->
+convert -> selfcheck -> edit -> evals -> demo page. Real weights cannot be
+exercised here (no network/checkpoints), so this drives the full step
+chain against the synthetic-checkpoint fixtures of
+test_convert_integration — every step after `fetch` runs its real code
+path end-to-end on the tiny family.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from audioeditingcode_tpu.utils.audio_io import write_wav
+from tools.validate_real_weights import build_parser, main
+
+from test_convert_integration import (
+    _mel_checkpoint,
+    make_clap_text_model_dir,
+    make_roberta_tokenizer_dir,
+)
+
+
+@pytest.fixture(scope="module")
+def fake_ckpt(tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("src"))
+    _mel_checkpoint(src, "test/tiny-audioldm")
+    make_clap_text_model_dir(os.path.join(src, "text_encoder"),
+                             projection_dim=32)
+    make_roberta_tokenizer_dir(os.path.join(src, "tokenizer"))
+    return src
+
+
+@pytest.fixture()
+def clip(tmp_path):
+    sr = 16000
+    t = np.arange(sr // 2, dtype=np.float32) / sr
+    p = str(tmp_path / "clip.wav")
+    write_wav(p, (0.4 * np.sin(2 * np.pi * 330 * t))[None], sr)
+    return p
+
+
+def test_full_chain_passes_offline(fake_ckpt, clip, tmp_path, capsys):
+    rc = main([
+        "--model_id", "test/tiny-audioldm", "--src", fake_ckpt,
+        "--work_dir", str(tmp_path / "work"), "--audio", clip,
+        "--num_diffusion_steps", "6", "--tstart", "4",
+        "--target_prompt", "a trumpet", "--allow_mel_fallback",
+        # tiny random-ish weights reconstruct near-perfectly; keep the
+        # real 40 dB bar — a tiny model lands at 100+ dB (verify skill)
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    # fetch PASSes on --src; manifest SKIPs (no vendored manifest for the
+    # tiny family); everything else PASSes
+    assert "fetch: PASS" in out
+    assert "manifest: SKIP" in out
+    for step in ("convert", "selfcheck", "edit", "evals", "page"):
+        assert f"{step}: PASS" in out, out
+    work = tmp_path / "work"
+    assert (work / "supp.html").exists()
+    assert any((work / "eval_scores").glob("scores_*.csv"))
+
+
+def test_selfcheck_gate_fails_on_low_snr(fake_ckpt, clip, tmp_path, capsys):
+    """A collapsed reconstruction SNR must FAIL the chain — the gate that
+    catches weights/converter/schedule disagreement on real checkpoints."""
+    rc = main([
+        "--model_id", "test/tiny-audioldm", "--src", fake_ckpt,
+        "--work_dir", str(tmp_path / "work2"), "--audio", clip,
+        "--num_diffusion_steps", "6", "--tstart", "4",
+        "--steps", "convert,selfcheck",
+        "--min_snr_db", "100000",  # unreachable bar forces the failure path
+    ])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "selfcheck: FAIL" in out and "SNR" in out
+
+
+def test_step_subset_and_unknown_step():
+    with pytest.raises(SystemExit):
+        main(["--model_id", "x", "--work_dir", "/tmp/x", "--steps", "bogus"])
+    args = build_parser().parse_args(
+        ["--model_id", "x", "--work_dir", "/tmp/x"])
+    assert args.num_diffusion_steps == 50 and args.min_snr_db == 40.0
