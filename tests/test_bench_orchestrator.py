@@ -21,6 +21,11 @@ BENCH = os.path.join(os.path.dirname(__file__), os.pardir, "bench.py")
 
 def _run(env_extra, timeout=120):
     env = {k: v for k, v in os.environ.items() if not k.startswith("BENCH_")}
+    # Drop the ambient PYTHONPATH (/root/.axon_site): its sitecustomize
+    # imports the TPU plugin at EVERY python startup (~2s); the BENCH_FAKE
+    # plumbing children never touch JAX, and these tests spawn ~10 of them
+    # each — this one line is ~50s of suite wall time.
+    env.pop("PYTHONPATH", None)
     env.update({"BENCH_FAKE": "1", "BENCH_RETRY_SLEEP_S": "0"})
     env.update(env_extra)
     return subprocess.run(

@@ -20,6 +20,7 @@ def wav_file(tmp_path_factory):
     return p
 
 
+@pytest.mark.slow
 def test_main_run_ours(wav_file, tmp_path):
     from audioeditingcode_tpu.cli.run import main
 
@@ -99,6 +100,7 @@ def test_sdedit(wav_file, tmp_path):
     assert os.path.exists(out)
 
 
+@pytest.mark.slow
 def test_pc_extract_and_apply(wav_file, tmp_path):
     from audioeditingcode_tpu.cli.pc_extract import main as extract
     from audioeditingcode_tpu.cli.pc_apply import main as apply_main
@@ -142,6 +144,7 @@ def test_pc_extract_and_apply(wav_file, tmp_path):
     assert "_RAND" in outs2[0]
 
 
+@pytest.mark.slow
 def test_pc_extract_ts_chunk_matches_sequential(wav_file, tmp_path):
     """--ts_chunk batches independent timesteps' power iterations into one
     vmapped program; results must match the sequential path (same RNG split

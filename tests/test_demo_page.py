@@ -3,6 +3,7 @@
 with embedded result audio, /root/reference/docs/supp.html)."""
 
 import os
+import pytest
 
 import numpy as np
 from scipy.io import wavfile
@@ -58,6 +59,7 @@ def test_empty_results_placeholder(tmp_path):
     assert "No results yet" in page
 
 
+@pytest.mark.slow
 def test_comparison_page_all_method_lanes(tmp_path):
     """End-to-end: REAL tiny-model CLI runs for the ours/sdedit/ddim lanes,
     synthetic MusicGen baseline trees — the page must render every method

@@ -8,10 +8,12 @@ pytest process already owns an 8-device CPU backend.
 """
 
 import os
+import pytest
 import subprocess
 import sys
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_self_provisions():
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}

@@ -91,6 +91,7 @@ class TestImageCLIs:
         ])
         assert os.path.exists(out)
 
+    @pytest.mark.slow
     def test_images_pc_extract_and_apply(self, png, tmp_path):
         from audioeditingcode_tpu.cli.images import pc_apply_main, pc_extract_main
 
@@ -123,6 +124,7 @@ class TestImageCLIs:
 
 
 class TestVQ:
+    @pytest.mark.slow
     def test_vq_quantize_maps_to_codebook(self):
         from audioeditingcode_tpu.models.configs import MODEL_SPECS
         from audioeditingcode_tpu.models.vae import VQModel

@@ -57,6 +57,7 @@ class TestOverlapAdd:
         np.testing.assert_allclose(out, sig, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_run_long_cli(tmp_path):
     """3-window end-to-end edit of a 1.5 s clip with 0.7 s chunks."""
     from scipy.io import wavfile
@@ -105,6 +106,7 @@ def test_run_long_cli_stable_audio(tmp_path):
     assert data.shape[0] == 200  # stitched back to the input length
 
 
+@pytest.mark.slow
 def test_run_long_cli_dp_sharded(tmp_path):
     """Window axis sharded over a 2-way dp mesh."""
     import jax

@@ -193,6 +193,7 @@ def test_cli_mesh_flags(tmp_path):
 
 
 @pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 virtual devices")
+@pytest.mark.slow
 def test_pc_extract_ts_chunk_shards_over_dp(tmp_path):
     """Timestep-chunked PC extraction with the chunk axis sharded over a
     4-way dp mesh runs end-to-end and writes a loadable checkpoint."""

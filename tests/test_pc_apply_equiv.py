@@ -118,6 +118,7 @@ def ex_args_for(pipe):
 
 
 @pytest.mark.parametrize("mode", ["per_ev", "combined", "fix_alpha"])
+@pytest.mark.slow
 def test_apply_matches_reference_loop(setup, mode):
     from audioeditingcode_tpu.cli.pc_apply import run_pc_application
 

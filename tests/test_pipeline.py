@@ -31,6 +31,7 @@ def wav_file(tmp_path_factory):
     return p
 
 
+@pytest.mark.slow
 def test_full_text_edit_slice(tiny_pipe, wav_file):
     pipe = tiny_pipe
     x0, sr, duration = load_audio(wav_file, pipe.mel_config, model_sr=pipe.get_sr())

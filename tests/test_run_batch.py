@@ -23,6 +23,7 @@ def _write_clips(d, sr, lengths, freqs):
     return paths
 
 
+@pytest.mark.slow
 def test_batch_edit_directory_mel(tmp_path):
     """Three clips of different lengths edit in one vmapped program; each
     lands in its own main_run.py-style results dir, cropped to its length."""
@@ -68,6 +69,7 @@ def test_batch_edit_file_list_stable_audio(tmp_path):
 
 
 @pytest.mark.skipif(jax.device_count() < 2, reason="needs 2 virtual devices")
+@pytest.mark.slow
 def test_batch_edit_dp_sharded(tmp_path):
     """Clip axis sharded over a 2-way dp mesh."""
     sr = 16000
@@ -130,6 +132,7 @@ def test_batch_edit_mixed_channels_rejected(tmp_path):
         ])
 
 
+@pytest.mark.slow
 def test_batch_results_feed_the_eval_tower(tmp_path):
     """A run_batch results tree scores through calc_scores unchanged: the
     dir layout and filename regex match main_run.py's, so every clip's

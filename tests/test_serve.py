@@ -26,6 +26,7 @@ def service():
                        dtype="float32")
 
 
+@pytest.mark.slow
 def test_service_edit(service):
     audio, sr = service.edit(clip_bytes(), "a trumpet", tstart=3, seed=0)
     assert audio.ndim == 2 and audio.shape[-1] > 0

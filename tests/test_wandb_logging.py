@@ -111,6 +111,7 @@ def test_run_cli_logs_when_enabled(fake_wandb, clip, tmp_path, monkeypatch):
     assert merged["gen_spec"][0] == "image"
 
 
+@pytest.mark.slow
 def test_pc_extract_logs_corr_diagnostics(fake_wandb, clip, tmp_path, monkeypatch):
     from audioeditingcode_tpu.cli import pc_extract
 
