@@ -134,21 +134,28 @@ def main(argv=None):
                 print(f"[+] wrote {fig_path}")
 
     if args.fad_gen_dirs:
-        import json
-
         from ..evals.features import fad_extractor
         from ..evals.scores import unsupervised_fad_table
 
         if not args.fad_ref_dirs:
             raise SystemExit("--fad_gen_dirs needs --fad_ref_dirs")
-        fad_ext = fad_extractor(backend=args.clap_backend,
-                                allow_mel_fallback=args.allow_mel_fallback)
+        # same protocol binding as the --fad_gen_dir block: default to the
+        # fadtk clap-laion-music checkpoint, honor an explicit --clap_model
+        if args.clap_model:
+            if extractor is None:
+                extractor = default_extractor(
+                    args.clap_model, backend=args.clap_backend,
+                    allow_mel_fallback=args.allow_mel_fallback)
+            fad_ext = extractor
+        else:
+            fad_ext = fad_extractor(backend=args.clap_backend,
+                                    allow_mel_fallback=args.allow_mel_fallback)
         scorer = FADScorer(fad_ext, window_size_s=args.win_length or 10.0,
                            overlap=args.overlap)
         by_skip = {}
         for spec in args.fad_gen_dirs:
             skip_s, _, gen_dir = spec.partition("=")
-            if not gen_dir:
+            if not gen_dir or not skip_s.isdigit():
                 raise SystemExit(f"--fad_gen_dirs wants SKIP=DIR, got {spec!r}")
             by_skip[int(skip_s)] = {
                 _ref_name(i, ref): scorer.score_dirs(gen_dir, ref)
@@ -159,14 +166,13 @@ def main(argv=None):
         outputs.append(out)
         print(f"[+] wrote {out}")
         if args.plots:
-            from ..evals.figures import fad_scatter_figure
+            from ..evals.figures import save_eval_figures
 
-            fig = fad_scatter_figure(fad_df, total_steps=args.total_steps)
-            if fig is not None:
-                out = os.path.join(args.out_dir, "fad_scatter.png")
-                fig.savefig(out, dpi=120)
-                outputs.append(out)
-                print(f"[+] wrote {out}")
+            for fig_path in save_eval_figures({}, args.out_dir,
+                                              fad_df=fad_df,
+                                              total_steps=args.total_steps):
+                outputs.append(fig_path)
+                print(f"[+] wrote {fig_path}")
 
     if args.fad_gen_dir:
         import json

@@ -126,7 +126,7 @@ def tradeoff_figure(dfs: Dict[str, "object"], sweep: str = "skip",
 
 def fad_scatter_figure(fad_df, x_col: str = "orig",
                        y_col: Optional[str] = None,
-                       total_steps: int = 200, label: str = "sdedit"):
+                       total_steps: int = 200, label: str = "generated"):
     """FAD-to-original (x) vs FAD-to-reference-set (y) across skips —
     reference evals/UnsupEval.ipynb cell 16. fad_df is
     `scores.unsupervised_fad_table` output: a `skip` column plus one column

@@ -350,8 +350,13 @@ def _sp_blocked_attention(q, k, v, mesh, interpret: bool = False):
     than 'sp' are unmentioned in the specs, i.e. replicated — the
     supported sp layout (batch replicated per sp group; dp shards clips at
     a higher level)."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map  # modern spelling (jax >= 0.8)
+        rep_kw = {"check_vma": False}
+    except ImportError:  # pragma: no cover — older jax
+        from jax.experimental.shard_map import shard_map
+        rep_kw = {"check_rep": False}
 
     B, S0, H, D = q.shape
     sp = mesh.shape["sp"]
@@ -363,7 +368,7 @@ def _sp_blocked_attention(q, k, v, mesh, interpret: bool = False):
     spec = P(None, "sp", None, None)
 
     @functools.partial(shard_map, mesh=mesh, in_specs=(spec, spec, spec),
-                       out_specs=spec, check_rep=False)
+                       out_specs=spec, **rep_kw)
     def body(ql, kl, vl):
         kf = jax.lax.all_gather(kl, "sp", axis=1, tiled=True)
         vf = jax.lax.all_gather(vl, "sp", axis=1, tiled=True)

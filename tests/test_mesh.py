@@ -259,7 +259,6 @@ def test_sp_sharded_dit_denoise_matches_single_device():
     np.testing.assert_allclose(out, ref, atol=2e-4)
 
 
-@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
 @pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 virtual devices")
 def test_sp_mesh_keeps_pallas_kernel(monkeypatch):
     """Under an sp mesh the attention dispatcher must route through the
@@ -310,6 +309,7 @@ def test_sp_mesh_keeps_pallas_kernel(monkeypatch):
                                atol=2e-5)
 
 
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
 def test_cli_sp_flag_stable_audio(tmp_path):
     """--sp on the edit CLI runs a sequence-parallel Stable Audio edit on a
     ('dp','tp','sp') mesh end-to-end."""

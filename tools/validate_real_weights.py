@@ -274,7 +274,9 @@ def main(argv=None) -> int:
         tag = f"[{i}/{len(ordered)}] {name}"
         try:
             msg = fns[name](ctx)
-        except Exception as e:  # noqa: BLE001 — report and stop
+        # SystemExit included: nested CLIs (argparse, evals_run) exit that
+        # way, and the contract is "print FAIL and stop", not a traceback
+        except (Exception, SystemExit) as e:  # noqa: BLE001 — report, stop
             print(f"{tag}: FAIL ({time.time() - t0:.0f}s): {e}")
             return 1
         status = "SKIP" if msg.startswith("SKIP") else "PASS"
