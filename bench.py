@@ -81,6 +81,11 @@ def _timed_reps(edit, bundle, w0):
 
     rng = jax.random.PRNGKey(1)
     np.asarray(edit(bundle, w0, rng))  # warmup/compile
+    # second untimed execution: on warm-cache children the FIRST post-
+    # compile run is often 2-3x slow (backend/tunnel ramp), which trips the
+    # stall detector and costs a whole consistency re-measure child —
+    # absorbing it here is ~5 s against ~5 min (observed 2026-08-19)
+    np.asarray(edit(bundle, w0, jax.random.fold_in(rng, 999)))
     reps = []
     for i in range(N_REP):
         t0 = time.perf_counter()

@@ -308,6 +308,15 @@ def test_sp_mesh_keeps_pallas_kernel(monkeypatch):
     np.testing.assert_allclose(np.asarray(out_r), np.asarray(ref_r),
                                atol=2e-5)
 
+    # a mesh with a REAL dp axis alongside sp (the CLI's --dp 2 --sp 2
+    # shape): batch stays replicated across the sp groups, parity holds
+    if jax.device_count() >= 8:
+        mesh8 = make_mesh(8, dp=2, tp=2, sp=2)
+        with mesh8:
+            out8 = jax.jit(fa.fused_attention)(q, k, v)
+        np.testing.assert_allclose(np.asarray(out8), np.asarray(ref),
+                                   atol=2e-5)
+
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
 def test_cli_sp_flag_stable_audio(tmp_path):
