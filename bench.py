@@ -205,6 +205,51 @@ def bench_stable_audio(model_id: str, steps: int, dtype_s: str,
     return row
 
 
+def bench_image(model_id: str, steps: int, dtype_s: str) -> dict:
+    """Image-editing step (SD v1.4, 512px -> (1, 4, 64, 64) latents):
+    the same CFG-fused two-scan edit the image CLIs run (cli/images.py;
+    reference images_run_sdedit.py / images_pc_*). Opt-in row
+    (BENCH_MODELS=CompVis/stable-diffusion-v1-4) — BASELINE.json's
+    steps/s target is audio, so this row reports evidence, not a
+    vs_baseline verdict."""
+    import jax
+    import jax.numpy as jnp
+
+    from audioeditingcode_tpu.models.registry import load_model
+    from audioeditingcode_tpu.editing.invert import (
+        inversion_forward_process,
+        inversion_reverse_process,
+    )
+
+    dtype = jnp.bfloat16 if dtype_s == "bfloat16" else jnp.float32
+    pipe = load_model(model_id, steps, dtype=dtype)
+    # 512px -> 64x64 latents (vae /8); BENCH_IMG_LATENT shrinks for tests
+    side = int(os.environ.get("BENCH_IMG_LATENT", "64"))
+    shape = (1, pipe.unet.config.in_channels, side, side)
+    w0 = jax.random.normal(jax.random.PRNGKey(0), shape, dtype=jnp.float32)
+    tstart = steps // 2
+
+    bundle = {
+        "params": pipe.params_dict(),
+        "uncond": pipe.encode_text([""]),
+        "tgt": pipe.encode_text([PROMPT]),
+        "sched": pipe.sched,
+    }
+
+    @jax.jit
+    def edit(bundle, w0, rng):
+        p = pipe.bind({**bundle["params"], "sched": bundle["sched"]})
+        denoise = p.make_denoiser(bundle["uncond"], bundle["tgt"],
+                                  jnp.full((1,) + shape[1:], 7.5))
+        _, zs, xts = inversion_forward_process(p.sched, denoise, w0, rng)
+        return inversion_reverse_process(p.sched, denoise, xts, zs[:tstart])
+
+    reps = _timed_reps(edit, bundle, w0)
+    row = _row(model_id, dtype_s, steps + tstart, reps, list(shape))
+    row["config"] = "image_512px"
+    return row
+
+
 def _row(model_id, dtype_s, unet_steps, reps, latent) -> dict:
     """Build a result row from per-rep wall times.
 
@@ -282,6 +327,8 @@ def run_family(spec: str) -> dict:
     if "stable-audio" in model_id:
         return bench_stable_audio(model_id, sa_steps, dtype_s,
                                   empty_src=(variant == "empty_src"))
+    if "stable-diffusion" in model_id:
+        return bench_image(model_id, steps, dtype_s)
     return bench_mel(model_id, steps, dtype_s,
                      empty_src=(variant == "empty_src"))
 

@@ -155,6 +155,16 @@ def test_stalled_family_is_remeasured(tmp_path):
     assert len(row["consistency_runs"]) >= 2
 
 
+def test_extra_model_outside_default_families_runs():
+    """An opt-in model id not in the default family list (e.g. the image
+    row, CompVis/stable-diffusion-v1-4) is appended and measured."""
+    proc = _run({"BENCH_MODELS": "CompVis/stable-diffusion-v1-4"})
+    assert proc.returncode == 0, proc.stderr
+    last = _json_lines(proc.stdout)[-1]
+    fams = last["detail"]["families"]
+    assert [r["model"] for r in fams] == ["CompVis/stable-diffusion-v1-4"]
+
+
 def test_backend_down_emits_parseable_empty_line(monkeypatch, capsys):
     """With the axon tunnel down (BENCH_r02's failure mode) the orchestrator
     must print a parseable empty result line and exit 1 instead of letting
