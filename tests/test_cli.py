@@ -42,6 +42,28 @@ def test_main_run_ours(wav_file, tmp_path):
     assert "skip_2" in os.path.basename(out)
 
 
+def test_main_run_profile_dir_writes_trace(wav_file, tmp_path):
+    """--profile_dir captures a jax.profiler trace around the edit
+    (SURVEY §5: tracing is greenfield TPU tooling this framework adds)."""
+    from audioeditingcode_tpu.cli.run import main
+
+    prof = tmp_path / "prof"
+    out = main([
+        "--model_id", "test/tiny-audioldm",
+        "--init_aud", wav_file,
+        "--target_prompt", "a trumpet",
+        "--num_diffusion_steps", "4",
+        "--tstart", "3",
+        "--results_path", str(tmp_path / "results"),
+        "--seed", "0",
+        "--profile_dir", str(prof),
+    ])
+    assert os.path.exists(out)
+    traces = glob.glob(os.path.join(str(prof), "**", "*.xplane.pb"),
+                       recursive=True)
+    assert traces, f"no profiler trace written under {prof}"
+
+
 def test_main_run_selfcheck(wav_file, tmp_path):
     """--selfcheck reverses with the SOURCE conditioning and must
     reconstruct the recorded trajectory start near-exactly (the reference's
