@@ -289,11 +289,16 @@ def main(argv=None):
                 # using it keeps the selfcheck target uniform across families
                 return (out, xts[0]) if args.selfcheck else out
 
+        from ..ops.flash_attention import sp_mesh_scope
         from ..utils.profiling import PhaseTimer, trace
 
         timer = PhaseTimer()
         n_steps = int(args.num_diffusion_steps + T)
-        with trace(args.profile_dir), timer.phase("edit", steps=n_steps):
+        # sp_mesh_scope routes DiT self-attention through the shard_map
+        # Pallas kernel under --sp; it must wrap the FIRST edit call (jit
+        # traces there). No-op without a real sp axis.
+        with trace(args.profile_dir), timer.phase("edit", steps=n_steps), \
+                sp_mesh_scope(mesh):
             w_edit = jax.block_until_ready(edit(bundle, w0, rng))
         timer.report()
         if args.selfcheck:

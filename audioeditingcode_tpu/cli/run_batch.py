@@ -260,10 +260,15 @@ def main(argv=None):
             out = jax.vmap(one)(dp_constraint(w0b, mesh), keys)
         return out[:, 0]  # (N, 1, ...) -> (N, ...)
 
+    from ..ops.flash_attention import sp_mesh_scope
+
     keys = jax.random.split(rng, n_clip)
-    w_edit = edit_all(bundle, w0[:, None], keys,
-                      dur_embeds if stable_audio else None,
-                      glob_states if stable_audio else None)
+    # sp_mesh_scope routes DiT self-attention through the shard_map Pallas
+    # kernel under --sp (trace-time dispatch); no-op without an sp axis
+    with sp_mesh_scope(mesh):
+        w_edit = edit_all(bundle, w0[:, None], keys,
+                          dur_embeds if stable_audio else None,
+                          glob_states if stable_audio else None)
 
     @jax.jit
     def decode(params, w):

@@ -144,8 +144,13 @@ def _main_stable_audio(args, seed, rng):
         out = jax.vmap(one)(dp_constraint(w0b, mesh), keys)
         return out[:, 0]  # (N, 1, C, L) -> (N, C, L)
 
+    from ..ops.flash_attention import sp_mesh_scope
+
     keys = jax.random.split(rng, n_win)
-    w_edit = edit_all(bundle, w0[:, None], keys)
+    # sp_mesh_scope routes DiT self-attention through the shard_map Pallas
+    # kernel under --sp (trace-time dispatch); no-op without an sp axis
+    with sp_mesh_scope(mesh):
+        w_edit = edit_all(bundle, w0[:, None], keys)
 
     @jax.jit
     def decode(params, w):

@@ -17,6 +17,8 @@ used under tests).
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 from typing import Optional
 
@@ -320,21 +322,69 @@ def _blocked_attention(q, k, v, rotary=None, interpret: bool = False,
     return out[:, :Sq0] if Sq != Sq0 else out
 
 
+_SP_MESH_SCOPE = contextvars.ContextVar("aec_sp_mesh", default=None)
+_WARNED_NO_LEGACY_MESH = False
+
+
+def sp_mesh_scope(mesh):
+    """Context manager routing sp-sharded self-attention through the
+    shard_map Pallas kernel.
+
+    The --sp CLIs (cli/run.py, run_batch.py) enter this scope around their
+    jitted edit call so the dispatcher sees the sp mesh at TRACE time —
+    no reliance on an ambient ``with mesh:`` context, which the CLIs never
+    establish (they shard via device_put(NamedSharding) only). A mesh of
+    None or one without a real 'sp' axis is a no-op, so callers wrap
+    unconditionally. Caveat: jax.jit caches by abstract signature only —
+    a program traced inside the scope keeps the sp kernel on later calls
+    outside it (and vice versa); trace sp and non-sp programs from
+    distinct jit functions, as the CLIs do (one process per config)."""
+
+    @contextlib.contextmanager
+    def _scope():
+        tok = _SP_MESH_SCOPE.set(mesh)
+        try:
+            yield
+        finally:
+            _SP_MESH_SCOPE.reset(tok)
+
+    return _scope()
+
+
+def _validated_sp_mesh(m):
+    if m is None or getattr(m, "empty", False) or "sp" not in m.axis_names:
+        return None
+    return m if m.shape["sp"] > 1 else None
+
+
 def _ambient_sp_mesh():
-    """The active ``with mesh:`` Mesh when it carries a real 'sp' axis,
-    else None. Trace-time lookup: the CLIs trace their jitted edit
-    programs inside the mesh context (cli/run.py), so the dispatcher can
-    route sp-sharded self-attention through the shard_map wrapper without
-    any plumbing through the model modules."""
+    """The sp Mesh the dispatcher should shard_map over, else None.
+
+    Sources, in order: the explicit ``sp_mesh_scope`` the CLIs enter
+    (primary — the CLIs trace their jitted edits OUTSIDE any mesh
+    context), then the legacy ``with mesh:`` context for direct callers.
+    The legacy lookup uses a deprecated accessor; if a future jax removes
+    it, the explicit scope still works and a one-time warning records the
+    lost fallback instead of silently disabling sp routing."""
+    m = _validated_sp_mesh(_SP_MESH_SCOPE.get())
+    if m is not None:
+        return m
     try:
         from jax.interpreters import pxla
 
-        m = pxla.thread_resources.env.physical_mesh
-    except Exception:
+        phys = pxla.thread_resources.env.physical_mesh
+    except (ImportError, AttributeError):  # pragma: no cover — future jax
+        global _WARNED_NO_LEGACY_MESH
+        if not _WARNED_NO_LEGACY_MESH:
+            _WARNED_NO_LEGACY_MESH = True
+            import warnings
+
+            warnings.warn(
+                "jax removed the legacy mesh-context accessor; `with mesh:`"
+                " no longer routes sp attention — use"
+                " flash_attention.sp_mesh_scope(mesh)")
         return None
-    if m is None or m.empty or "sp" not in m.axis_names:
-        return None
-    return m if m.shape["sp"] > 1 else None
+    return _validated_sp_mesh(phys)
 
 
 def _sp_blocked_attention(q, k, v, mesh, interpret: bool = False):

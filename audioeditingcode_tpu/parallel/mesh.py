@@ -14,7 +14,10 @@ path); multi-chip scaling is a new first-class component of this framework:
   Pallas kernel runs inside a shard_map over 'sp' — each shard's query
   block attends to the all-gathered K/V (~1.5 MB bf16 per layer — cheap on
   ICI; ops/flash_attention._sp_blocked_attention), so --sp keeps the
-  kernel's measured single-chip win.
+  kernel's measured single-chip win. The --sp CLIs activate this routing
+  by entering flash_attention.sp_mesh_scope(mesh) around their jitted
+  edit call (trace-time dispatch — the CLIs shard via NamedSharding and
+  never enter a `with mesh:` context).
 
 Pipeline parallelism is deliberately absent: editing is a latency-bound
 300-step sequential scan per clip, where pp only adds bubble latency (dp

@@ -293,6 +293,24 @@ def test_sp_mesh_keeps_pallas_kernel(monkeypatch):
     assert calls, "sp mesh active but the shard_map kernel path not taken"
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
+    # CLI-faithful routing: the CLIs never enter `with mesh:` (they shard
+    # via device_put(NamedSharding) only) — they enter sp_mesh_scope(mesh)
+    # around the jitted edit instead, and the dispatcher must engage from
+    # that scope alone
+    calls.clear()
+    with fa.sp_mesh_scope(mesh):
+        out_scope = jax.jit(
+            lambda q, k, v: fa.fused_attention(q, k, v))(q, k, v)
+    assert calls, "sp_mesh_scope set but the shard_map kernel path not taken"
+    np.testing.assert_allclose(np.asarray(out_scope), np.asarray(ref),
+                               atol=2e-5)
+
+    # and a scope with a meshless/no-sp value is a clean no-op
+    calls.clear()
+    with fa.sp_mesh_scope(None):
+        jax.jit(lambda q, k, v: fa.fused_attention(q, k, v) * 1.0)(q, k, v)
+    assert not calls
+
     # rotary rides the sp path too (applied on the host before sharding)
     rot = 16
     ang = (jnp.arange(S, dtype=jnp.float32)[:, None]
@@ -319,13 +337,30 @@ def test_sp_mesh_keeps_pallas_kernel(monkeypatch):
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
-def test_cli_sp_flag_stable_audio(tmp_path):
+def test_cli_sp_flag_stable_audio(tmp_path, monkeypatch):
     """--sp on the edit CLI runs a sequence-parallel Stable Audio edit on a
-    ('dp','tp','sp') mesh end-to-end."""
+    ('dp','tp','sp') mesh end-to-end — AND actually routes the DiT
+    self-attention through the shard_map Pallas kernel. The engagement
+    assertion is the regression guard for the round-4 fix: the CLI traces
+    its jitted edit OUTSIDE any `with mesh:` context, so only the
+    sp_mesh_scope it enters can activate the sp kernel path (a silent
+    fallback here is exactly the round-3 '--sp forfeits the kernel'
+    caveat coming back)."""
     import numpy as np
 
+    import audioeditingcode_tpu.ops.flash_attention as fa
     from audioeditingcode_tpu.cli import run
     from audioeditingcode_tpu.utils.audio_io import write_wav
+
+    # tiny DiT sequence is 17 (16 latents + global token): let the
+    # dispatcher consider it, and run the kernel via the interpreter on CPU
+    monkeypatch.setenv("PALLAS_INTERPRET_ATTENTION", "1")
+    monkeypatch.setattr(fa, "_MIN_SEQ_FOR_KERNEL", 8)
+    calls = []
+    real_sp = fa._sp_blocked_attention
+    monkeypatch.setattr(
+        fa, "_sp_blocked_attention",
+        lambda *a, **kw: (calls.append(1), real_sp(*a, **kw))[1])
 
     sr = 4000
     t = np.arange(200, dtype=np.float32) / sr
@@ -339,6 +374,8 @@ def test_cli_sp_flag_stable_audio(tmp_path):
         "--seed", "0", "--dp", "2", "--tp", "2", "--sp", "2",
     ])
     assert os.path.exists(out)
+    assert calls, ("--sp edit ran but the sp shard_map Pallas path never "
+                   "engaged — the CLI lost its sp_mesh_scope routing")
 
 
 def test_cli_sp_flag_rejected_for_mel(tmp_path):
