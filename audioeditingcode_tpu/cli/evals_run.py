@@ -75,6 +75,44 @@ def _ref_name(i: int, ref_dir: str) -> str:
     return os.path.basename(os.path.normpath(ref_dir)) or f"ref{i}"
 
 
+def _ref_names(ref_dirs) -> list:
+    """Unique column names for --fad_ref_dirs. Two reference dirs sharing a
+    basename (e.g. runA/refs and runB/refs) get index-suffixed names instead
+    of silently overwriting each other's (expensive) scores in the table."""
+    names = []
+    for i, ref in enumerate(ref_dirs):
+        name = _ref_name(i, ref)
+        if name in names:
+            name = f"{name}#{i}"
+        names.append(name)
+    return names
+
+
+def _bind_fad_scorer(args, extractor):
+    """FAD scorer bound to the reference protocol: the fadtk
+    clap-laion-music checkpoint (reference evals/fadtk_utils.py:33-59)
+    unless an explicit --clap_model overrides it. Returns
+    (scorer, extractor) so an extractor built here is reused — the
+    --fad_gen_dirs and --fad_gen_dir blocks share one binding instead of
+    loading the CLAP model twice. (Imports stay local: main() applies the
+    platform override before any backend-touching import.)"""
+    from ..evals import FADScorer
+    from ..evals.features import default_extractor, fad_extractor
+
+    if args.clap_model:
+        if extractor is None:
+            extractor = default_extractor(
+                args.clap_model, backend=args.clap_backend,
+                allow_mel_fallback=args.allow_mel_fallback)
+        fad_ext = extractor
+    else:
+        fad_ext = fad_extractor(backend=args.clap_backend,
+                                allow_mel_fallback=args.allow_mel_fallback)
+    scorer = FADScorer(fad_ext, window_size_s=args.win_length or 10.0,
+                       overlap=args.overlap)
+    return scorer, extractor
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     # evaluation is offline work: honor AEC_PLATFORM=cpu before any backend
@@ -133,33 +171,27 @@ def main(argv=None):
                 outputs.append(fig_path)
                 print(f"[+] wrote {fig_path}")
 
+    fad_scorer = None
     if args.fad_gen_dirs:
-        from ..evals.features import fad_extractor
         from ..evals.scores import unsupervised_fad_table
 
         if not args.fad_ref_dirs:
             raise SystemExit("--fad_gen_dirs needs --fad_ref_dirs")
-        # same protocol binding as the --fad_gen_dir block: default to the
-        # fadtk clap-laion-music checkpoint, honor an explicit --clap_model
-        if args.clap_model:
-            if extractor is None:
-                extractor = default_extractor(
-                    args.clap_model, backend=args.clap_backend,
-                    allow_mel_fallback=args.allow_mel_fallback)
-            fad_ext = extractor
-        else:
-            fad_ext = fad_extractor(backend=args.clap_backend,
-                                    allow_mel_fallback=args.allow_mel_fallback)
-        scorer = FADScorer(fad_ext, window_size_s=args.win_length or 10.0,
-                           overlap=args.overlap)
+        fad_scorer, extractor = _bind_fad_scorer(args, extractor)
+        ref_names = _ref_names(args.fad_ref_dirs)
         by_skip = {}
         for spec in args.fad_gen_dirs:
             skip_s, _, gen_dir = spec.partition("=")
             if not gen_dir or not skip_s.isdigit():
                 raise SystemExit(f"--fad_gen_dirs wants SKIP=DIR, got {spec!r}")
-            by_skip[int(skip_s)] = {
-                _ref_name(i, ref): scorer.score_dirs(gen_dir, ref)
-                for i, ref in enumerate(args.fad_ref_dirs)}
+            skip = int(skip_s)
+            if skip in by_skip:
+                # overwriting would silently discard the already-computed
+                # (expensive) FAD scores for this skip
+                raise SystemExit(f"--fad_gen_dirs has skip {skip} twice")
+            by_skip[skip] = {
+                name: fad_scorer.score_dirs(gen_dir, ref)
+                for name, ref in zip(ref_names, args.fad_ref_dirs)}
         fad_df = unsupervised_fad_table(by_skip)
         out = os.path.join(args.out_dir, "fad_by_skip.csv")
         fad_df.to_csv(out, index=False)
@@ -177,23 +209,9 @@ def main(argv=None):
     if args.fad_gen_dir:
         import json
 
-        from ..evals.features import fad_extractor
-
-        # FAD binds to the laion-CLAP MUSIC checkpoint protocol (fadtk
-        # 'clap-laion-music', reference evals/fadtk_utils.py:33-59) unless an
-        # explicit --clap_model overrides it
-        if args.clap_model:
-            if extractor is None:
-                extractor = default_extractor(
-                    args.clap_model, backend=args.clap_backend,
-                    allow_mel_fallback=args.allow_mel_fallback)
-            fad_ext = extractor
-        else:
-            fad_ext = fad_extractor(backend=args.clap_backend,
-                                    allow_mel_fallback=args.allow_mel_fallback)
-        scorer = FADScorer(fad_ext, window_size_s=args.win_length or 10.0,
-                           overlap=args.overlap)
-        fads = {ref: scorer.score_dirs(args.fad_gen_dir, ref)
+        if fad_scorer is None:
+            fad_scorer, extractor = _bind_fad_scorer(args, extractor)
+        fads = {ref: fad_scorer.score_dirs(args.fad_gen_dir, ref)
                 for ref in args.fad_ref_dirs}
         out = os.path.join(args.out_dir, "fad.json")
         with open(out, "w") as f:

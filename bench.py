@@ -436,11 +436,15 @@ def _consistency_pass(spec, row, t_start, budget):
     reliable clock in a single process. For the headline spec (always) and
     any spec whose first run looks stalled (rep_spread > STALL_SPREAD),
     re-measure in another fresh process:
-      - runs agree within CONSISTENT_REL -> keep the FASTER one (a
-        degraded tunnel/chip can only ADD wall time over true device
-        execution, so the faster credible run is closer to the truth);
-      - runs disagree -> one more fresh process, keep the faster of the
-        two closest runs and mark how it was resolved.
+      - runs agree within CONSISTENT_REL -> keep the FASTER one;
+      - runs disagree -> one more fresh process, then keep the FASTEST of
+        all runs. Not majority/closest-pair: every rep materializes its
+        output, so wall time is a strict upper bound on device execution
+        and a faster run is always closer to the truth — while a degraded
+        session demonstrably produces MULTIPLE agreeing-but-slow runs
+        (round-3's 37-vs-68 split, PERF_NOTES.md), so two slow runs
+        outvoting one fast run is exactly the failure mode to avoid. The
+        spread of all runs is recorded so a residual doubt stays visible.
     Every run's value is recorded in the row (`consistency_runs`)."""
     is_headline = spec == HEADLINE
     if not (is_headline or row.get("stall_suspect")):
@@ -467,13 +471,10 @@ def _consistency_pass(spec, row, t_start, budget):
         row3, _ = _measure_spec(spec, 2, t_start, budget, have_rows=True)
         if row3 is not None:
             runs.append(row3)
-            # keep the two closest runs, drop the outlier
-            pairs = [(abs(a["steps_per_sec_per_chip"]
-                          - b["steps_per_sec_per_chip"]), a, b)
-                     for i, a in enumerate(runs) for b in runs[i + 1:]]
-            _, a, b = min(pairs, key=lambda p: p[0])
-            runs_kept = [a, b]
-            resolved = "third_run_majority"
+            # fastest wins (see docstring); closest-pair majority would let
+            # two degraded-session runs outvote the one credible fast run
+            runs_kept = runs
+            resolved = "third_run_fastest"
         else:
             runs_kept = runs
             resolved = "unresolved: third run failed"

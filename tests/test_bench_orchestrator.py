@@ -118,9 +118,9 @@ def test_models_env_filters_and_keeps_both_stable_audio_configs():
 
 def test_headline_disagreement_resolved_by_third_run(tmp_path):
     """Two fresh-process headline runs that disagree >15% trigger a third;
-    the outlier is dropped and the faster of the consistent pair wins
-    (VERDICT r3 #1: wall time is bounded below by device execution, so a
-    degraded tunnel/chip can only make a run SLOWER than the truth)."""
+    the FASTEST of all runs wins (VERDICT r3 #1: every rep materializes
+    its output, so wall time is a strict upper bound on device execution —
+    a degraded tunnel/chip can only make a run SLOWER than the truth)."""
     seq = tmp_path / "vals.txt"
     seq.write_text("50,30,48")
     proc = _run({
@@ -130,9 +130,28 @@ def test_headline_disagreement_resolved_by_third_run(tmp_path):
     assert proc.returncode == 0, proc.stderr
     last = _json_lines(proc.stdout)[-1]
     head = last["detail"]["families"][0]
-    assert head["consistency"] == "third_run_majority"
+    assert head["consistency"] == "third_run_fastest"
     assert head["consistency_runs"] == [50.0, 30.0, 48.0]
-    # 30 is the outlier; 50 is the faster of the consistent (50, 48) pair
+    assert last["value"] == 50.0
+
+
+def test_degraded_pair_cannot_outvote_fast_run(tmp_path):
+    """The round-3 failure mode: a session degrades mid-bench and produces
+    TWO agreeing slow runs (30, 31) against one credible fast run (50).
+    A closest-pair majority would publish 31; the fastest-run rule keeps
+    50 (PERF_NOTES.md 'Measurement trust': within a degraded session even
+    fresh-process re-runs agree with each other while being wrong)."""
+    seq = tmp_path / "vals.txt"
+    seq.write_text("50,30,31")
+    proc = _run({
+        "BENCH_MODELS": "cvssp/audioldm2-music",
+        "BENCH_FAKE_VALUE_FILE": str(seq),
+    })
+    assert proc.returncode == 0, proc.stderr
+    last = _json_lines(proc.stdout)[-1]
+    head = last["detail"]["families"][0]
+    assert head["consistency"] == "third_run_fastest"
+    assert head["consistency_runs"] == [50.0, 30.0, 31.0]
     assert last["value"] == 50.0
 
 

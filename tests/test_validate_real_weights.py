@@ -86,3 +86,12 @@ def test_step_subset_and_unknown_step():
     args = build_parser().parse_args(
         ["--model_id", "x", "--work_dir", "/tmp/x"])
     assert args.num_diffusion_steps == 50 and args.min_snr_db == 40.0
+
+
+def test_checkpoint_steps_without_fetch_need_src(tmp_path):
+    """An advertised subset like --steps manifest,convert without --src must
+    fail with a clear flag error up front, not a TypeError deep inside the
+    checkpoint loader."""
+    with pytest.raises(SystemExit, match="--src"):
+        main(["--model_id", "cvssp/audioldm2-music",
+              "--work_dir", str(tmp_path), "--steps", "manifest,convert"])

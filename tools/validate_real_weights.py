@@ -263,6 +263,13 @@ def main(argv=None) -> int:
     unknown = [s for s in wanted if s not in STEPS]
     if unknown:
         raise SystemExit(f"unknown steps: {unknown} (know {STEPS})")
+    if ("fetch" not in wanted and args.src is None
+            and any(s in wanted for s in ("manifest", "convert"))):
+        # without this, ctx.src=None fails deep inside the checkpoint
+        # loader with an opaque TypeError instead of a clear flag error
+        raise SystemExit("--steps skips 'fetch', so --src (the downloaded "
+                         "checkpoint directory) is required for "
+                         "manifest/convert")
     os.makedirs(args.work_dir, exist_ok=True)
     ctx = Ctx(args)
     fns = {"fetch": step_fetch, "manifest": step_manifest,
