@@ -1,9 +1,15 @@
 #!/usr/bin/env python
-"""Ablation probes for the AudioLDM2 CFG-fused UNet step (round-3 headline).
+"""Ablation probes for the AudioLDM2 CFG-fused UNet step.
 
-AudioLDM2-music measures ~26.5 ms/step vs AudioLDM-s's ~14.7 with only
-1.17x the FLOPs (479 vs 410 GFLOP by XLA cost analysis) — the dual-stream
-transformer layout is running far below the single-stream efficiency.
+HISTORICAL PREMISE, SINCE RESOLVED: this probe was written when
+AudioLDM2-music appeared to measure ~26.5 ms/step vs AudioLDM-s's ~14.7
+with only 1.17x the FLOPs (479 vs 410 GFLOP by XLA cost analysis) — a
+supposed dual-stream efficiency deficit. That reading came from a
+degraded tunnel session; the verified number is ~14.6 ms/step and the
+dual-stream layout is slightly MORE efficient than AudioLDM-s
+(PERF_NOTES.md "Measurement trust"). The probe's component table remains
+valid and is recorded in PERF_NOTES.md "AudioLDM2 ablation probe".
+
 Each variant here deletes one component of the real model and times the
 real CFG-fused denoiser step inside a lax.scan (materialized per rep — the
 only trustworthy timing through the axon tunnel, PERF_NOTES.md): if
@@ -20,9 +26,10 @@ Variants:
   xla_attn       Pallas self-attention kernel disabled (XLA everywhere)
 
 Program-bisect variants (the model untouched; the PROGRAM around the
-denoiser varies — round-3 finding: the raw CFG step measures ~15 ms while
-the full edit program's per-step cost is ~26.5 ms, so the overhead lives
-in the edit program, not the model):
+denoiser varies — kept for localizing any future raw-step vs in-edit
+discrepancy; the round-3 "edit program costs 26.5 vs 15 ms raw" gap that
+motivated them was the degraded-session artifact above, and the verified
+edit program runs at the raw-step cost):
   fwd_only       inversion_forward_process alone (200 steps)
   rev_only       inversion_reverse_process alone on synthetic xts/zs (100)
   edit           the full bench-identical two-scan edit program (300)
