@@ -12,10 +12,22 @@ Robustness contract (the driver records the LAST JSON line of the tail):
   - families run HEADLINE-FIRST, each in a FRESH SUBPROCESS (the axon
     tunnel endpoint rotates; long-lived processes lose it — PERF_NOTES.md);
   - a failed/timed-out family is retried in another fresh process;
-  - the cumulative result JSON line is (re)printed after EVERY family, so
-    a mid-run driver kill still captures everything completed so far;
-  - BENCH_BUDGET_S bounds total wall time: no new family is launched when
-    the remaining budget can't plausibly fit one.
+  - the cumulative result JSON line is printed IMMEDIATELY after the first
+    successful row — BEFORE the consistency re-measure — and re-printed
+    after every subsequent row/pass, so a driver kill at ANY point records
+    everything completed so far (BENCH_r04 died parsed-null because the
+    old ordering ran the headline's consistency child first);
+  - BENCH_BUDGET_S bounds total wall time (default 1500 s — the observed
+    driver window is ~30 min, not the 50 min previously assumed): no new
+    family is launched when the remaining budget can't plausibly fit one,
+    and the consistency re-measure is skipped when the remaining budget is
+    under 2x the first run's measured child wall time.
+
+Every child row is self-explaining (VERDICT r4 #2): it records model-load
+seconds, first-execution (compile) seconds, per-rep times, the process's
+JAX compilation-cache hit/miss counts, and a sha256 digest of the final
+materialized output — consistency runs must agree on the digest before the
+fastest-run-wins rule applies (program-identity guard).
 
 Prints JSON lines {"metric", "value", "unit", "vs_baseline", "detail"}:
 the headline value is the reference CLIs' default model
@@ -24,16 +36,20 @@ family so the driver artifact records the full table.
 
 Env overrides:
   BENCH_MODELS   comma list of model ids, or "all" (default: all 5 families)
+                 a ":batchN" suffix (e.g. cvssp/audioldm-s-full-v2:batch4)
+                 benches an N-clip vmapped edit and reports clips/min —
+                 the measured single-chip anchor for the v5e-4 dp lane
   BENCH_MODEL    legacy single-model override (implies BENCH_MODELS=<it>)
   BENCH_DTYPE    bfloat16|float32 (default bfloat16)
   BENCH_STEPS    mel-family diffusion steps (default 200)
   BENCH_SA_STEPS stable-audio diffusion steps (default 100)
-  BENCH_BUDGET_S total wall-clock budget in seconds (default 3000)
+  BENCH_BUDGET_S total wall-clock budget in seconds (default 1500)
   BENCH_REPS     timed reps per family (default 5; median is primary)
   BENCH_CHILD    (internal) single family spec; run it inline, print one row
   BENCH_FAKE     (tests only) skip JAX, emit synthetic rows
 """
 
+import hashlib
 import json
 import os
 import subprocess
@@ -65,38 +81,73 @@ STALL_SPREAD = 1.3
 CONSISTENT_REL = 0.15
 
 # Orchestration knobs. A cold-cache family compile through the tunnel takes
-# up to ~10 min; warm-cache ~1-3 min. The per-child cap must cover cold.
-CHILD_TIMEOUT_S = float(os.environ.get("BENCH_CHILD_TIMEOUT_S", "900"))
+# up to ~10 min; warm-cache ~1-3 min — but BENCH_r04's driver children ran
+# 832-900 s even with warm cache entries on disk, so the per-child cap must
+# cover the slow-driver-child case, not just cold compiles.
+CHILD_TIMEOUT_S = float(os.environ.get("BENCH_CHILD_TIMEOUT_S", "1100"))
 MIN_LAUNCH_BUDGET_S = 150  # don't start a family with less than this left
 RETRY_SLEEP_S = float(os.environ.get("BENCH_RETRY_SLEEP_S", "15"))
 
 
-def _timed_reps(edit, bundle, w0):
+def _cache_counters() -> dict:
+    """Register a listener for JAX compilation-cache hit/miss events.
+
+    Both events are plain monitoring.record_event calls
+    (jax/_src/compiler.py '/jax/compilation_cache/cache_hits';
+    jax/_src/compilation_cache.py '/jax/compilation_cache/cache_misses').
+    The returned dict keeps counting for the life of the process — read it
+    after the timed section."""
+    counts = {"hits": 0, "misses": 0}
+    try:
+        from jax._src import monitoring
+
+        def _ev(event, **kw):
+            if event.endswith("/cache_hits"):
+                counts["hits"] += 1
+            elif event.endswith("/cache_misses"):
+                counts["misses"] += 1
+
+        monitoring.register_event_listener(_ev)
+    except Exception:
+        pass
+    return counts
+
+
+def _timed_reps(edit, bundle, w0, phases):
     """Compile + N_REP individually-timed executions; np.asarray per rep
     forces a real device->host read (axon block_until_ready can return
     early). Returns the list of per-rep wall times — the caller derives
-    median/min and the stall diagnosis (VERDICT r3 #1a)."""
+    median/min and the stall diagnosis (VERDICT r3 #1a). Fills `phases`
+    with compile_s / warm2_s and a digest of the final materialized output
+    (deterministic: the rng chain is fixed), so cross-process consistency
+    runs can prove they executed the identical program."""
     import jax
     import numpy as np
 
     rng = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
     np.asarray(edit(bundle, w0, rng))  # warmup/compile
+    phases["compile_s"] = round(time.perf_counter() - t0, 2)
     # second untimed execution: on warm-cache children the FIRST post-
     # compile run is often 2-3x slow (backend/tunnel ramp), which trips the
     # stall detector and costs a whole consistency re-measure child —
     # absorbing it here is ~5 s against ~5 min (observed 2026-08-19)
+    t0 = time.perf_counter()
     np.asarray(edit(bundle, w0, jax.random.fold_in(rng, 999)))
+    phases["warm2_s"] = round(time.perf_counter() - t0, 2)
     reps = []
     for i in range(N_REP):
         t0 = time.perf_counter()
         out = np.asarray(edit(bundle, w0, jax.random.fold_in(rng, i)))
         reps.append(time.perf_counter() - t0)
-    assert np.isfinite(np.asarray(out, dtype=np.float32)).all()
+    out = np.asarray(out, dtype=np.float32)
+    assert np.isfinite(out).all()
+    phases["out_digest"] = hashlib.sha256(out.tobytes()).hexdigest()[:16]
     return reps
 
 
 def bench_mel(model_id: str, steps: int, dtype_s: str,
-              empty_src: bool = False) -> dict:
+              empty_src: bool = False, batch: int = 1) -> dict:
     """UNet-family edit: inversion (steps) + reverse (steps//2).
 
     empty_src=True benches the REFERENCE-DEFAULT CLI flow: main_run.py's
@@ -105,7 +156,11 @@ def bench_mel(model_id: str, steps: int, dtype_s: str,
     prompts[0] != ""), so the forward pass is a batch-1 uncond step —
     exact math, and what our cli/run.py also does (src=None when the
     source prompt is empty). The default row keeps the worst-case batch-2
-    CFG forward in BOTH scans for round-over-round comparability."""
+    CFG forward in BOTH scans for round-over-round comparability.
+
+    batch>1 benches the N-clip vmapped edit (the run_batch CLI's program
+    shape, cli/run_batch.py) and reports clips/min — the single-chip
+    anchor that the mesh dp axis multiplies (VERDICT r4 #7)."""
     import jax
     import jax.numpy as jnp
 
@@ -119,10 +174,12 @@ def bench_mel(model_id: str, steps: int, dtype_s: str,
     dtype = jnp.bfloat16 if dtype_s == "bfloat16" else jnp.float32
     # 10 s clip at 16 kHz: 1024 mel frames -> latent (1, 8, 256, 16)
     latent_time = int(os.environ.get("BENCH_LATENT_TIME", "256"))
+    phases = {}
+    t0 = time.perf_counter()
     pipe = load_model(model_id, steps, dtype=dtype, latent_time=latent_time)
+    phases["load_s"] = round(time.perf_counter() - t0, 2)
     spec_shape = (1, pipe.unet.config.in_channels, latent_time,
                   64 // pipe.vae_pad_multiple)
-    w0 = jax.random.normal(jax.random.PRNGKey(0), spec_shape, dtype=jnp.float32)
     tstart = steps // 2
 
     # EVERYTHING host-built travels as jit ARGUMENTS — params, conditioning,
@@ -137,17 +194,35 @@ def bench_mel(model_id: str, steps: int, dtype_s: str,
         "sched": pipe.sched,
     }
 
-    @jax.jit
-    def edit(bundle, w0, rng):
-        p = pipe.bind({**bundle["params"], "sched": bundle["sched"]})
+    def edit_one(p, bundle, w0, rng):
         denoise = p.make_denoiser(bundle["uncond"], bundle["tgt"], bundle["cfg_t"])
         fwd_den = (p.make_denoiser(bundle["uncond"], None, None)
                    if empty_src else denoise)
         _, zs, xts = inversion_forward_process(p.sched, fwd_den, w0, rng)
         return inversion_reverse_process(p.sched, denoise, xts, zs[:tstart])
 
-    reps = _timed_reps(edit, bundle, w0)
-    row = _row(model_id, dtype_s, steps + tstart, reps, list(spec_shape))
+    if batch == 1:
+        w0 = jax.random.normal(jax.random.PRNGKey(0), spec_shape,
+                               dtype=jnp.float32)
+
+        @jax.jit
+        def edit(bundle, w0, rng):
+            p = pipe.bind({**bundle["params"], "sched": bundle["sched"]})
+            return edit_one(p, bundle, w0, rng)
+    else:
+        # N independent clips, one vmapped program (run_batch's shape)
+        w0 = jax.random.normal(jax.random.PRNGKey(0), (batch,) + spec_shape,
+                               dtype=jnp.float32)
+
+        @jax.jit
+        def edit(bundle, w0b, rng):
+            p = pipe.bind({**bundle["params"], "sched": bundle["sched"]})
+            keys = jax.random.split(rng, batch)
+            return jax.vmap(lambda w, k: edit_one(p, bundle, w, k))(w0b, keys)
+
+    reps = _timed_reps(edit, bundle, w0, phases)
+    row = _row(model_id, dtype_s, steps + tstart, reps, list(spec_shape),
+               phases, batch=batch)
     if empty_src:
         row["config"] = "empty_src_batch1_fwd"
     return row
@@ -174,7 +249,10 @@ def bench_stable_audio(model_id: str, steps: int, dtype_s: str,
     )
 
     dtype = jnp.bfloat16 if dtype_s == "bfloat16" else jnp.float32
+    phases = {}
+    t0 = time.perf_counter()
     pipe = load_model(model_id, steps, dtype=dtype)
+    phases["load_s"] = round(time.perf_counter() - t0, 2)
     shape = (1, pipe.dit.config.in_channels, pipe.sample_size)
     w0 = jax.random.normal(jax.random.PRNGKey(0), shape, dtype=jnp.float32)
     tstart = steps // 2
@@ -198,8 +276,8 @@ def bench_stable_audio(model_id: str, steps: int, dtype_s: str,
         return inversion_reverse_process(
             p.sched, rev_den, xts, zs[:tstart], init_history=extras[tstart - 1])
 
-    reps = _timed_reps(edit, bundle, w0)
-    row = _row(model_id, dtype_s, steps + tstart, reps, list(shape))
+    reps = _timed_reps(edit, bundle, w0, phases)
+    row = _row(model_id, dtype_s, steps + tstart, reps, list(shape), phases)
     if empty_src:
         row["config"] = "empty_src_batch1_fwd"
     return row
@@ -222,7 +300,10 @@ def bench_image(model_id: str, steps: int, dtype_s: str) -> dict:
     )
 
     dtype = jnp.bfloat16 if dtype_s == "bfloat16" else jnp.float32
+    phases = {}
+    t0 = time.perf_counter()
     pipe = load_model(model_id, steps, dtype=dtype)
+    phases["load_s"] = round(time.perf_counter() - t0, 2)
     # 512px -> 64x64 latents (vae /8); BENCH_IMG_LATENT shrinks for tests
     side = int(os.environ.get("BENCH_IMG_LATENT", "64"))
     shape = (1, pipe.unet.config.in_channels, side, side)
@@ -244,19 +325,22 @@ def bench_image(model_id: str, steps: int, dtype_s: str) -> dict:
         _, zs, xts = inversion_forward_process(p.sched, denoise, w0, rng)
         return inversion_reverse_process(p.sched, denoise, xts, zs[:tstart])
 
-    reps = _timed_reps(edit, bundle, w0)
-    row = _row(model_id, dtype_s, steps + tstart, reps, list(shape))
+    reps = _timed_reps(edit, bundle, w0, phases)
+    row = _row(model_id, dtype_s, steps + tstart, reps, list(shape), phases)
     row["config"] = "image_512px"
     return row
 
 
-def _row(model_id, dtype_s, unet_steps, reps, latent) -> dict:
+def _row(model_id, dtype_s, unet_steps, reps, latent, phases,
+         batch: int = 1) -> dict:
     """Build a result row from per-rep wall times.
 
     The primary value uses the MEDIAN rep (robust to a single stalled rep
     in either direction); the min and the full rep list are recorded so a
     degraded-tunnel run is visible in the artifact instead of silently
-    poisoning the table (VERDICT r3 weak #1)."""
+    poisoning the table (VERDICT r3 weak #1). `phases` carries the child's
+    self-explanation: load_s, compile_s, warm2_s, out_digest (VERDICT r4
+    #2). clips_per_min is the dp-lane anchor (batch clips per edit)."""
     import statistics
 
     import jax
@@ -278,14 +362,18 @@ def _row(model_id, dtype_s, unet_steps, reps, latent) -> dict:
         "unet_steps_per_edit": unet_steps,
         "chips": n_chips,
         "latent": latent,
+        "clips_per_min": round(batch * 60.0 / med, 2),
+        **({"clip_batch": batch} if batch > 1 else {}),
+        **phases,
     }
 
 
 def run_family(spec: str) -> dict:
     """Run one family spec inline and return its row.
 
-    spec is a model id, optionally suffixed ":empty_src" for the Stable
-    Audio editing-typical configuration."""
+    spec is a model id, optionally suffixed ":empty_src" (editing-typical
+    Stable Audio / reference-default mel config) or ":batchN" (N-clip
+    vmapped throughput lane, mel families)."""
     if os.environ.get("BENCH_FAKE"):
         # Test-only plumbing path: no JAX, deterministic synthetic row.
         fail_specs = [s for s in os.environ.get(
@@ -303,8 +391,21 @@ def run_family(spec: str) -> dict:
                 val = float(vals[0])
                 with open(seq_path, "w") as f:
                     f.write(",".join(vals[1:]))
+        # Digest sequence (pop-from-file): lets tests simulate the
+        # program-identity failure (two runs with different outputs).
+        digest = "fakedigest0000"
+        dseq_path = os.environ.get("BENCH_FAKE_DIGEST_FILE")
+        if dseq_path and os.path.exists(dseq_path):
+            with open(dseq_path) as f:
+                digs = [d for d in f.read().split(",") if d.strip()]
+            if digs:
+                digest = digs[0]
+                with open(dseq_path, "w") as f:
+                    f.write(",".join(digs[1:]))
         spread = float(os.environ.get("BENCH_FAKE_SPREAD", "1.0"))
-        return {"model": spec.split(":")[0],
+        model_id, _, variant = spec.partition(":")
+        batch = int(variant[5:]) if variant.startswith("batch") else 1
+        return {"model": model_id,
                 "steps_per_sec_per_chip": val,
                 "vs_baseline": round(val / BASELINE, 3),
                 "dtype": os.environ.get("BENCH_DTYPE", "bfloat16"),
@@ -313,11 +414,19 @@ def run_family(spec: str) -> dict:
                 "stall_suspect": spread > STALL_SPREAD,
                 "unet_steps_per_edit": 0,
                 "chips": 1, "latent": [],
+                "clips_per_min": val * batch,
+                "load_s": 0.0, "compile_s": 0.0, "warm2_s": 0.0,
+                "cache_hits": 0, "cache_misses": 0,
+                "out_digest": digest,
+                **({"clip_batch": batch,
+                    "config": f"batch{batch}_throughput"}
+                   if batch > 1 else {}),
                 **({"config": "empty_src_batch1_fwd"}
-                   if spec.endswith(":empty_src") else {})}
+                   if variant == "empty_src" else {})}
 
     from audioeditingcode_tpu.utils.jax_setup import enable_compilation_cache
 
+    counts = _cache_counters()
     enable_compilation_cache()
     dtype_s = os.environ.get("BENCH_DTYPE", "bfloat16")
     steps = int(os.environ.get("BENCH_STEPS", "200"))
@@ -325,12 +434,20 @@ def run_family(spec: str) -> dict:
 
     model_id, _, variant = spec.partition(":")
     if "stable-audio" in model_id:
-        return bench_stable_audio(model_id, sa_steps, dtype_s,
-                                  empty_src=(variant == "empty_src"))
-    if "stable-diffusion" in model_id:
-        return bench_image(model_id, steps, dtype_s)
-    return bench_mel(model_id, steps, dtype_s,
-                     empty_src=(variant == "empty_src"))
+        row = bench_stable_audio(model_id, sa_steps, dtype_s,
+                                 empty_src=(variant == "empty_src"))
+    elif "stable-diffusion" in model_id:
+        row = bench_image(model_id, steps, dtype_s)
+    elif variant.startswith("batch"):
+        batch = int(variant[5:])
+        row = bench_mel(model_id, steps, dtype_s, batch=batch)
+        row["config"] = f"batch{batch}_throughput"
+    else:
+        row = bench_mel(model_id, steps, dtype_s,
+                        empty_src=(variant == "empty_src"))
+    row["cache_hits"] = counts["hits"]
+    row["cache_misses"] = counts["misses"]
+    return row
 
 
 def _result_line(rows: list, note: str = "") -> str:
@@ -371,8 +488,13 @@ def _result_line(rows: list, note: str = "") -> str:
 
 
 def _launch_child(spec: str, timeout_s: float):
-    """Run one family in a fresh subprocess; return (row|None, err_note)."""
+    """Run one family in a fresh subprocess; return (row|None, err_note).
+
+    The child's total wall time (load + compile + reps + process overhead)
+    is recorded in the row as child_wall_s, so the artifact itself shows
+    where a slow driver child spent its time (VERDICT r4 #2)."""
     env = dict(os.environ, BENCH_CHILD=spec)
+    t0 = time.monotonic()
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -386,7 +508,9 @@ def _launch_child(spec: str, timeout_s: float):
         line = line.strip()
         if line.startswith("{"):
             try:
-                return json.loads(line), ""
+                row = json.loads(line)
+                row["child_wall_s"] = round(time.monotonic() - t0, 1)
+                return row, ""
             except json.JSONDecodeError:
                 continue
     return None, "no row in child output"
@@ -445,12 +569,26 @@ def _consistency_pass(spec, row, t_start, budget):
         (round-3's 37-vs-68 split, PERF_NOTES.md), so two slow runs
         outvoting one fast run is exactly the failure mode to avoid. The
         spread of all runs is recorded so a residual doubt stays visible.
+
+    Program-identity guard (VERDICT r4 weak #4): fastest-wins is only valid
+    when the runs computed the SAME thing. Every child records a digest of
+    its final materialized output (deterministic rng chain); if consistency
+    runs disagree on the digest, the protocol keeps the FIRST run, marks
+    the row unresolved, and records every (value, digest) pair — a child
+    that silently ran a smaller/different program can no longer win.
+
+    Budget guard (VERDICT r4 #1b): the re-measure is skipped outright when
+    the remaining budget is under 2x the first run's measured child wall
+    time — a driver window too small for two children must still publish
+    the first row, labelled "skipped: budget".
+
     Every run's value is recorded in the row (`consistency_runs`)."""
     is_headline = spec == HEADLINE
     if not (is_headline or row.get("stall_suspect")):
         return row
     remaining = budget - (time.monotonic() - t_start)
-    if remaining < MIN_LAUNCH_BUDGET_S:
+    child_s = row.get("child_wall_s") or MIN_LAUNCH_BUDGET_S
+    if remaining < max(MIN_LAUNCH_BUDGET_S, 2.0 * child_s):
         row["consistency"] = "skipped: budget"
         return row
     runs = [row]
@@ -473,23 +611,30 @@ def _consistency_pass(spec, row, t_start, budget):
             runs.append(row3)
             # fastest wins (see docstring); closest-pair majority would let
             # two degraded-session runs outvote the one credible fast run
-            runs_kept = runs
             resolved = "third_run_fastest"
         else:
-            runs_kept = runs
             resolved = "unresolved: third run failed"
+    digests = [r.get("out_digest") for r in runs]
+    if len(set(digests)) > 1:
+        # identity guard: the runs did NOT compute the same program output;
+        # no speed comparison between them is meaningful — keep run 1.
+        best = dict(row)
+        best["consistency"] = "unresolved: digest mismatch"
     else:
-        runs_kept = runs
-    best = max(runs_kept, key=lambda r: r["steps_per_sec_per_chip"])
-    best = dict(best)
-    best["consistency"] = resolved
+        best = dict(max(runs, key=lambda r: r["steps_per_sec_per_chip"]))
+        best["consistency"] = resolved
     best["consistency_runs"] = [r["steps_per_sec_per_chip"] for r in runs]
+    best["consistency_digests"] = digests
     return best
 
 
 def orchestrate() -> int:
     t_start = time.monotonic()
-    budget = float(os.environ.get("BENCH_BUDGET_S", "3000"))
+    # Default 1500 s: the observed driver window is ~30 min (BENCH_r04 was
+    # killed ~30 min in while the old 3000 s default was still launching
+    # children), and the budget must leave room for the kill to land on a
+    # printed line, not mid-child.
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
     if not os.environ.get("BENCH_FAKE"):
         alive = False
@@ -534,9 +679,19 @@ def orchestrate() -> int:
         row, errs = _measure_spec(spec, attempts, t_start, budget,
                                   have_rows=bool(rows))
         if row is not None:
-            row = _consistency_pass(spec, row, t_start, budget)
+            # Print the cumulative line IMMEDIATELY — before the
+            # consistency re-measure, which can cost a whole extra child
+            # (~14 min in the driver environment). BENCH_r04 was killed
+            # inside exactly that window and recorded parsed=null even
+            # though a valid headline row existed in memory (VERDICT r4
+            # #1a). The consistency-refined row replaces it below and the
+            # line is re-printed.
             rows.append(row)
-            print(f"[bench] {spec}: {row['steps_per_sec_per_chip']} "
+            note = f"incomplete: {', '.join(skipped)}" if skipped else ""
+            print(_result_line(rows, note), flush=True)
+            rows[-1] = _consistency_pass(spec, row, t_start, budget)
+            print(f"[bench] {spec}: "
+                  f"{rows[-1]['steps_per_sec_per_chip']} "
                   f"steps/s/chip", file=sys.stderr)
         else:
             skipped.append(f"{spec} ({'; '.join(errs)})")

@@ -46,23 +46,36 @@ def test_streams_cumulative_line_per_family_headline_first():
     proc = _run({})
     assert proc.returncode == 0, proc.stderr
     lines = _json_lines(proc.stdout)
-    # one cumulative line per family spec (7 specs)
-    assert len(lines) == 7
+    # TWO cumulative lines per successful family (7 specs): one printed
+    # IMMEDIATELY after the row lands — before the consistency re-measure,
+    # whose extra child is where BENCH_r04's driver kill hit — and one
+    # after the consistency-refined row replaces it (VERDICT r4 #1a)
+    assert len(lines) == 14
     # the FIRST line already carries the headline family — a driver kill
-    # after family 1 still records the most important number
+    # even DURING the headline's consistency child still records the most
+    # important number
     first = lines[0]
-    assert first["detail"]["families"][0]["model"] == "cvssp/audioldm2-music"
+    head0 = first["detail"]["families"][0]
+    assert head0["model"] == "cvssp/audioldm2-music"
     assert first["value"] > 0
+    assert "consistency" not in head0  # pre-consistency snapshot
     # the headline is re-measured in a second fresh process (VERDICT r3 #1)
-    head = first["detail"]["families"][0]
+    head = lines[1]["detail"]["families"][0]
     assert head["consistency"] == "two_run_agreement"
     assert head["consistency_runs"] == [50.0, 50.0]
+    # identical digests prove both processes ran the same program
+    assert len(set(head["consistency_digests"])) == 1
     last = lines[-1]
     assert len(last["detail"]["families"]) == 7
     assert last["metric"] == "unet_steps_per_sec_per_chip"
     # the worst-case headline config is labelled in the top-level detail
     assert last["detail"]["config"] == "worst_case_batch2_cfg"
     assert "note" not in last["detail"]
+    # every row self-explains its cost phases (VERDICT r4 #2)
+    for r in last["detail"]["families"]:
+        for key in ("load_s", "compile_s", "cache_hits", "cache_misses",
+                    "out_digest", "child_wall_s", "clips_per_min"):
+            assert key in r, f"{r['model']} missing {key}"
 
 
 def test_failed_family_is_retried_then_skipped_without_killing_run():
@@ -182,6 +195,57 @@ def test_extra_model_outside_default_families_runs():
     last = _json_lines(proc.stdout)[-1]
     fams = last["detail"]["families"]
     assert [r["model"] for r in fams] == ["CompVis/stable-diffusion-v1-4"]
+
+
+def test_digest_mismatch_blocks_fastest_run_rule(tmp_path):
+    """Program-identity guard (VERDICT r4 weak #4): when the consistency
+    runs disagree on the output digest, they did NOT execute the same
+    program, so no speed comparison between them is valid — the protocol
+    keeps the FIRST run and marks the row unresolved instead of letting a
+    silently-smaller program win on speed."""
+    vals = tmp_path / "vals.txt"
+    vals.write_text("48,50")  # run 2 is "faster" (within agreement band) ...
+    digs = tmp_path / "digs.txt"
+    digs.write_text("aaaa,bbbb")  # ... but computed something else
+    proc = _run({
+        "BENCH_MODELS": "cvssp/audioldm2-music",
+        "BENCH_FAKE_VALUE_FILE": str(vals),
+        "BENCH_FAKE_DIGEST_FILE": str(digs),
+    })
+    assert proc.returncode == 0, proc.stderr
+    last = _json_lines(proc.stdout)[-1]
+    head = last["detail"]["families"][0]
+    assert head["consistency"] == "unresolved: digest mismatch"
+    assert head["consistency_digests"] == ["aaaa", "bbbb"]
+    assert last["value"] == 48.0  # first run kept, fast impostor rejected
+
+
+def test_zero_budget_skips_consistency_but_still_publishes(tmp_path):
+    """Budget guard (VERDICT r4 #1b): a driver window too small for a
+    consistency child must still publish the first row, labelled
+    'skipped: budget' — never burn the remaining window on a re-measure."""
+    proc = _run({
+        "BENCH_MODELS": "cvssp/audioldm2-music",
+        "BENCH_BUDGET_S": "0",
+    })
+    assert proc.returncode == 0, proc.stderr
+    last = _json_lines(proc.stdout)[-1]
+    head = last["detail"]["families"][0]
+    assert head["consistency"] == "skipped: budget"
+    assert last["value"] == 50.0
+
+
+def test_batch_lane_spec_reports_clips_per_min():
+    """The ':batchN' opt-in spec (VERDICT r4 #7) runs the N-clip vmapped
+    edit and reports clips/min — the measured single-chip anchor that the
+    mesh dp axis multiplies for the v5e-4 aggregate-throughput story."""
+    proc = _run({"BENCH_MODELS": "cvssp/audioldm-s-full-v2:batch4"})
+    assert proc.returncode == 0, proc.stderr
+    last = _json_lines(proc.stdout)[-1]
+    row = last["detail"]["families"][0]
+    assert row["config"] == "batch4_throughput"
+    assert row["clip_batch"] == 4
+    assert row["clips_per_min"] == 200.0  # fake value 50.0 * batch 4
 
 
 def test_backend_down_emits_parseable_empty_line(monkeypatch, capsys):
