@@ -352,9 +352,14 @@ def sp_mesh_scope(mesh):
 
 
 def _validated_sp_mesh(m):
+    """A mesh routes attention through the sp shard_map iff it carries an
+    'sp' axis. Size 1 counts: make_mesh only creates the axis when sp is
+    explicitly requested, and routing at sp=1 is how the shard_map +
+    in-shard Pallas lowering is rehearsed on a single real chip
+    (VERDICT r4 #5) — the gather over a 1-member axis is the identity."""
     if m is None or getattr(m, "empty", False) or "sp" not in m.axis_names:
         return None
-    return m if m.shape["sp"] > 1 else None
+    return m
 
 
 def _ambient_sp_mesh():

@@ -336,6 +336,40 @@ def test_sp_mesh_keeps_pallas_kernel(monkeypatch):
                                    atol=2e-5)
 
 
+def test_sp1_single_device_mesh_routes_kernel(monkeypatch):
+    """An explicitly-requested sp axis of size 1 on a SINGLE device still
+    builds the 3-axis mesh and routes attention through the shard_map
+    Pallas path (the all_gather over a 1-member axis is the identity).
+    This is the exact shape of the single-chip hardware rehearsal of the
+    sp kernel path (VERDICT r4 #5): on a 1-chip TPU, `--sp 1` is the only
+    way to compile+execute the shard_map + Mosaic lowering for real."""
+    import audioeditingcode_tpu.ops.flash_attention as fa
+    from audioeditingcode_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setenv("PALLAS_INTERPRET_ATTENTION", "1")
+    monkeypatch.setattr(fa, "_MIN_SEQ_FOR_KERNEL", 8)
+
+    B, S, H, Hkv, D = 1, 129, 8, 4, 32
+    key = jax.random.PRNGKey(3)
+    q = jax.random.normal(key, (B, S, H, D), dtype=jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, S, Hkv, D))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, S, Hkv, D))
+    ref = jax.nn.dot_product_attention(q, k, v)
+
+    calls = []
+    real_sp = fa._sp_blocked_attention
+    monkeypatch.setattr(
+        fa, "_sp_blocked_attention",
+        lambda *a, **kw: (calls.append(1), real_sp(*a, **kw))[1])
+
+    mesh = make_mesh(1, dp=1, tp=1, sp=1)
+    assert dict(mesh.shape) == {"dp": 1, "tp": 1, "sp": 1}
+    with fa.sp_mesh_scope(mesh):
+        out = jax.jit(lambda q, k, v: fa.fused_attention(q, k, v))(q, k, v)
+    assert calls, "sp=1 mesh set but the shard_map kernel path not taken"
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
 def test_cli_sp_flag_stable_audio(tmp_path, monkeypatch):
     """--sp on the edit CLI runs a sequence-parallel Stable Audio edit on a

@@ -61,8 +61,57 @@ def test_full_chain_passes_offline(fake_ckpt, clip, tmp_path, capsys):
     for step in ("convert", "selfcheck", "edit", "evals", "page"):
         assert f"{step}: PASS" in out, out
     work = tmp_path / "work"
-    assert (work / "supp.html").exists()
+    page = (work / "supp.html").read_text()
+    # POPULATED, not just present: the round-4 runbook passed the model dir
+    # to the page scanner and silently built an empty 'No results yet' page
+    assert "No results yet" not in page and "<audio" in page
     assert any((work / "eval_scores").glob("scores_*.csv"))
+
+
+def test_full_rehearsal_all_lanes(fake_ckpt, clip, tmp_path, capsys):
+    """The complete offline rehearsal (VERDICT r4 #4): ONE command runs
+    every runbook step with ALL THREE method lanes (ours + ddim + sdedit),
+    producing eval scores, figures (main_evals --plots) and a
+    fully-populated comparison supp.html whose SYNTHETIC banner makes it
+    impossible to mistake for real results — proving the only missing
+    ingredient for the real-weight evidence chain is weights, not
+    plumbing."""
+    work = tmp_path / "rehearsal"
+    rc = main([
+        "--model_id", "test/tiny-audioldm", "--src", fake_ckpt,
+        "--work_dir", str(work), "--audio", clip,
+        "--num_diffusion_steps", "6", "--tstart", "4",
+        "--target_prompt", "a trumpet", "--allow_mel_fallback",
+        "--methods", "ours,ddim,sdedit",
+        "--banner", "SYNTHETIC WEIGHTS — plumbing rehearsal, not results",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    for step in ("convert", "selfcheck", "edit", "evals", "page"):
+        assert f"{step}: PASS" in out, out
+    # all three lanes produced a wav
+    assert "ours:" in out and "ddim:" in out and "sdedit:" in out
+    # the page is the method-comparison layout with one column per lane,
+    # a populated audio table, and the synthetic banner up top
+    page = (work / "supp.html").read_text()
+    assert "SYNTHETIC WEIGHTS" in page and 'class="banner"' in page
+    assert "Method comparison" in page
+    for lane in ("ours", "sdedit", "ddim"):
+        assert f"<th>{lane}</th>" in page
+    assert page.count("<audio") >= 4  # orig + three lanes
+    assert "No results yet" not in page
+    # eval artifacts: per-lane score CSVs and rendered figures
+    scores = list((work / "eval_scores").glob("scores_*.csv"))
+    assert scores, out
+    figures = (list((work / "eval_scores").glob("*.png"))
+               + list((work / "eval_scores").glob("**/*.png")))
+    assert figures, f"--plots produced no figures: {out}"
+
+
+def test_unknown_method_fails_loudly(tmp_path):
+    with pytest.raises(SystemExit, match="unknown methods"):
+        main(["--model_id", "x", "--work_dir", str(tmp_path),
+              "--methods", "ours,bogus"])
 
 
 def test_selfcheck_gate_fails_on_low_snr(fake_ckpt, clip, tmp_path, capsys):

@@ -47,6 +47,8 @@ _PAGE = """<!doctype html>
   .prompt {{ font-style: italic; }}
   .cfg {{ color: #777; font-size: .8rem; white-space: nowrap; }}
   .empty {{ color: #888; margin-top: 2rem; }}
+  .banner {{ background: #fff3cd; border: 1px solid #ffc107; color: #664d03;
+             padding: .6rem .9rem; border-radius: .4rem; font-weight: 600; }}
   a {{ color: #0a58ca; }}
 </style>
 </head>
@@ -136,8 +138,18 @@ def _cfg_label(fname: str) -> str:
     return html.escape(os.path.splitext(fname)[0])
 
 
+def _banner_html(banner: Optional[str]) -> str:
+    """Prominent provenance banner (e.g. 'SYNTHETIC WEIGHTS — plumbing
+    rehearsal'): the offline runbook rehearsal must be impossible to
+    mistake for real results (VERDICT r4 #4)."""
+    if not banner:
+        return ""
+    return f'<p class="banner">{html.escape(banner)}</p>\n'
+
+
 def render(rows: List[EditRow], out_path: str,
-           copy_audio: Optional[str] = None) -> str:
+           copy_audio: Optional[str] = None,
+           banner: Optional[str] = None) -> str:
     out_dir = os.path.dirname(os.path.abspath(out_path))
 
     def rel(p: str) -> str:
@@ -153,7 +165,7 @@ def render(rows: List[EditRow], out_path: str,
         body = ('<p class="empty">No results yet — run the editing CLIs '
                 '(e.g. <code>main_run.py</code>) with real converted weights '
                 'and re-run <code>tools/build_demo_page.py</code>.</p>')
-        return _PAGE.format(body=body)
+        return _PAGE.format(body=_banner_html(banner) + body)
 
     parts = []
     for model in sorted({r.model for r in rows}):
@@ -174,11 +186,12 @@ def render(rows: List[EditRow], out_path: str,
                 f"<td>{orig}</td><td>{edits}</td>"
                 "</tr>")
         parts.append("</table>")
-    return _PAGE.format(body="\n".join(parts))
+    return _PAGE.format(body=_banner_html(banner) + "\n".join(parts))
 
 
 def render_comparison(method_rows, out_path: str,
-                      copy_audio: Optional[str] = None) -> str:
+                      copy_audio: Optional[str] = None,
+                      banner: Optional[str] = None) -> str:
     """Method-comparison page (the reference supp.html layout: one column
     per method — ours / SDEdit / DDIM / MusicGen / MusicGen-large — plus the
     original, rows keyed by (clip, target prompt)).
@@ -202,7 +215,8 @@ def render_comparison(method_rows, out_path: str,
     methods += sorted(set(method_rows) - set(methods))
     keys = sorted({k for rows in method_rows.values() for k in rows})
     if not keys:
-        return _PAGE.format(body='<p class="empty">No results yet.</p>')
+        return _PAGE.format(body=_banner_html(banner)
+                            + '<p class="empty">No results yet.</p>')
 
     parts = ["<h2>Method comparison</h2>",
              "<table><tr><th>clip</th><th>target prompt</th><th>original</th>"
@@ -229,7 +243,7 @@ def render_comparison(method_rows, out_path: str,
             f"<td>{_audio_tag(rel(orig)) if orig else '&mdash;'}</td>"
             + "".join(cells) + "</tr>")
     parts.append("</table>")
-    return _PAGE.format(body="\n".join(parts))
+    return _PAGE.format(body=_banner_html(banner) + "\n".join(parts))
 
 
 def _method_rows_from_tree(results_dir: str):
@@ -259,6 +273,9 @@ def main(argv=None):
     p.add_argument("--out", default="docs/supp.html")
     p.add_argument("--copy-audio", default=None,
                    help="copy wavs under this dir (for a publishable page)")
+    p.add_argument("--banner", default=None,
+                   help="prominent provenance banner at the top of the page "
+                        "(e.g. 'SYNTHETIC WEIGHTS — plumbing rehearsal')")
     args = p.parse_args(argv)
 
     baselines = (args.sdedit, args.ddim, args.musicgen, args.musicgen_large)
@@ -274,11 +291,13 @@ def main(argv=None):
                 method_rows[name] = {k: (None, [v]) for k, v in
                                      scan_musicgen(root).items()}
         page = render_comparison(method_rows, args.out,
-                                 copy_audio=args.copy_audio)
+                                 copy_audio=args.copy_audio,
+                                 banner=args.banner)
         n = sum(len(v) for v in method_rows.values())
     else:
         rows = scan_results(args.results)
-        page = render(rows, args.out, copy_audio=args.copy_audio)
+        page = render(rows, args.out, copy_audio=args.copy_audio,
+                      banner=args.banner)
         n = len(rows)
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w") as f:

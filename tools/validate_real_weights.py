@@ -16,11 +16,14 @@ executable version of that first task the moment weights exist: it
   4. selfcheck  runs main_run.py --selfcheck on real weights and requires
                 the latent reconstruction SNR >= 40 dB (a collapsed SNR
                 means weights/converter/schedule disagree)
-  5. edit       runs one REAL text edit and checks the output wav
-  6. evals      scores the edit with the reference CLAP protocol
-                (main_evals.py; pass --allow_mel_fallback only if the CLAP
-                checkpoint itself is unreachable)
-  7. page       rebuilds docs/supp.html from the results
+  5. edit       runs one REAL text edit per requested method lane
+                (--methods ours[,ddim,sdedit]) and checks each output wav
+  6. evals      scores every lane with the reference CLAP protocol
+                (main_evals.py --plots; pass --allow_mel_fallback only if
+                the CLAP checkpoint itself is unreachable)
+  7. page       rebuilds docs/supp.html from the results — one column per
+                method lane when baselines ran (the reference supp.html
+                layout)
 
 Each step prints PASS/FAIL/SKIP and the run stops at the first failure.
 The orchestration (steps 2-5 wiring, flag plumbing, failure propagation)
@@ -36,6 +39,20 @@ Typical use:
 
 Use --steps to run a subset (e.g. --steps fetch,manifest,convert) and
 --src to point at an already-downloaded checkpoint directory.
+
+Offline rehearsal (VERDICT r4 #4 — proves the only missing ingredient is
+weights, not plumbing): ONE command drives every step against a synthetic
+checkpoint, through all three method lanes, eval scores + figures, and a
+fully-populated supp.html carrying an unmissable SYNTHETIC banner:
+
+  python tools/validate_real_weights.py \\
+      --model_id test/tiny-audioldm --src <fake_ckpt_dir> \\
+      --work_dir /tmp/rehearsal --methods ours,ddim,sdedit \\
+      --num_diffusion_steps 6 --tstart 4 --allow_mel_fallback \\
+      --banner "SYNTHETIC WEIGHTS — plumbing rehearsal, not results"
+
+(tests/test_validate_real_weights.py::test_full_rehearsal_all_lanes runs
+exactly this.)
 """
 
 from __future__ import annotations
@@ -73,16 +90,33 @@ def _canonical(key: str) -> str:
     return k
 
 
+METHODS = ["ours", "ddim", "sdedit"]
+
+
 class Ctx:
     def __init__(self, args):
         self.args = args
         self.src = args.src
         self.weights_dir = os.path.join(args.work_dir, "weights",
                                         args.model_id.replace("/", "__"))
+        # one results root per method lane: the eval tower and the demo
+        # page both take per-lane directory roots (evals_run --sdedit_dirs/
+        # --ddim_dirs; build_demo_page --sdedit/--ddim)
         self.results_dir = os.path.join(args.work_dir, "results")
+        self.lane_dirs = {
+            "ours": self.results_dir,
+            "ddim": os.path.join(args.work_dir, "results_ddim"),
+            "sdedit": os.path.join(args.work_dir, "results_sdedit"),
+        }
+        self.methods = [m.strip() for m in args.methods.split(",") if m.strip()]
         self.eval_dir = os.path.join(args.work_dir, "eval_scores")
         self.edit_wav = None
+        self.lane_wavs = {}
         self.audio = args.audio
+
+    def lane_model_root(self, method: str) -> str:
+        return os.path.join(self.lane_dirs[method],
+                            self.args.model_id.split("/")[-1])
 
 
 def step_fetch(ctx: Ctx) -> str:
@@ -159,7 +193,7 @@ def _ensure_audio(ctx: Ctx) -> str:
     return path
 
 
-def _run_edit(ctx: Ctx, selfcheck: bool) -> str:
+def _run_edit(ctx: Ctx, selfcheck: bool, mode: str = "ours") -> str:
     from audioeditingcode_tpu.cli.run import main as run_main
 
     argv = [
@@ -168,8 +202,9 @@ def _run_edit(ctx: Ctx, selfcheck: bool) -> str:
         "--target_prompt", ctx.args.target_prompt,
         "--num_diffusion_steps", str(ctx.args.num_diffusion_steps),
         "--tstart", str(ctx.args.tstart),
-        "--results_path", ctx.results_dir,
+        "--results_path", ctx.lane_dirs[mode],
         "--weights_dir", ctx.weights_dir,
+        "--mode", mode,
         "--seed", "0",
     ]
     if ctx.args.source_prompt:
@@ -177,6 +212,22 @@ def _run_edit(ctx: Ctx, selfcheck: bool) -> str:
     if selfcheck:
         argv += ["--selfcheck"]
     return run_main(argv)
+
+
+def _run_sdedit(ctx: Ctx) -> str:
+    from audioeditingcode_tpu.cli.sdedit import main as sdedit_main
+
+    return sdedit_main([
+        "--model_id", ctx.args.model_id,
+        "--init_aud", _ensure_audio(ctx),
+        "--target_prompt", ctx.args.target_prompt,
+        "--num_diffusion_steps", str(ctx.args.num_diffusion_steps),
+        "--tstart", str(ctx.args.tstart),
+        "--results_path", ctx.lane_dirs["sdedit"],
+        "--weights_dir", ctx.weights_dir,
+        "--seed", "0",
+        "--wandb_disable",
+    ])
 
 
 def step_selfcheck(ctx: Ctx) -> str:
@@ -194,23 +245,33 @@ def step_selfcheck(ctx: Ctx) -> str:
 
 
 def step_edit(ctx: Ctx) -> str:
-    ctx.edit_wav = _run_edit(ctx, selfcheck=False)
     import numpy as np
 
     from audioeditingcode_tpu.utils.audio_io import read_wav
 
-    wav, sr = read_wav(ctx.edit_wav)
-    if not np.isfinite(wav).all() or float(np.abs(wav).max()) < 1e-5:
-        raise RuntimeError(f"edit output degenerate: {ctx.edit_wav}")
-    return f"edit written: {ctx.edit_wav} ({wav.shape[-1] / sr:.1f}s)"
+    for method in ctx.methods:
+        if method == "sdedit":
+            wav_path = _run_sdedit(ctx)
+        else:
+            wav_path = _run_edit(ctx, selfcheck=False, mode=method)
+        wav, sr = read_wav(wav_path)
+        if not np.isfinite(wav).all() or float(np.abs(wav).max()) < 1e-5:
+            raise RuntimeError(f"{method} edit output degenerate: {wav_path}")
+        ctx.lane_wavs[method] = wav_path
+    ctx.edit_wav = ctx.lane_wavs.get("ours") or next(iter(ctx.lane_wavs.values()))
+    lanes = ", ".join(f"{m}: {p}" for m, p in ctx.lane_wavs.items())
+    return f"edits written ({len(ctx.lane_wavs)} lane"  \
+           f"{'s' if len(ctx.lane_wavs) > 1 else ''}): {lanes}"
 
 
 def step_evals(ctx: Ctx) -> str:
     from audioeditingcode_tpu.cli.evals_run import main as evals_main
 
-    model_root = os.path.join(ctx.results_dir,
-                              ctx.args.model_id.split("/")[-1])
-    argv = ["--ours_dirs", model_root, "--out_dir", ctx.eval_dir, "--plots"]
+    argv = ["--out_dir", ctx.eval_dir, "--plots"]
+    lane_flags = {"ours": "--ours_dirs", "ddim": "--ddim_dirs",
+                  "sdedit": "--sdedit_dirs"}
+    for method in ctx.methods:
+        argv += [lane_flags[method], ctx.lane_model_root(method)]
     if ctx.args.allow_mel_fallback:
         argv += ["--allow_mel_fallback"]
     outputs = evals_main(argv)
@@ -223,13 +284,23 @@ def step_page(ctx: Ctx) -> str:
     from tools.build_demo_page import main as page_main
 
     out = os.path.join(ctx.args.work_dir, "supp.html")
-    model_root = os.path.join(ctx.results_dir,
-                              ctx.args.model_id.split("/")[-1])
-    page_main(["--results", model_root, "--out", out,
-               "--copy-audio", os.path.join(ctx.args.work_dir, "audio")])
+    # the page scanner wants the results ROOT (<root>/<model>/<clip>/...,
+    # build_demo_page.scan_results), NOT the per-model dir the eval tower
+    # takes — the round-4 runbook passed the model dir here and silently
+    # built an empty page; the all-lanes rehearsal test now pins this
+    argv = ["--results", ctx.lane_dirs["ours"], "--out", out,
+            "--copy-audio", os.path.join(ctx.args.work_dir, "audio")]
+    if "sdedit" in ctx.methods:
+        argv += ["--sdedit", ctx.lane_dirs["sdedit"]]
+    if "ddim" in ctx.methods:
+        argv += ["--ddim", ctx.lane_dirs["ddim"]]
+    if ctx.args.banner:
+        argv += ["--banner", ctx.args.banner]
+    page_main(argv)
     if not os.path.exists(out):
         raise RuntimeError("demo page not written")
-    return f"demo page rebuilt: {out}"
+    lanes = "/".join(ctx.methods)
+    return f"demo page rebuilt ({lanes} lanes): {out}"
 
 
 def build_parser():
@@ -249,6 +320,15 @@ def build_parser():
                         "reference-default quality evidence")
     p.add_argument("--tstart", type=int, default=25)
     p.add_argument("--min_snr_db", type=float, default=40.0)
+    p.add_argument("--methods", default="ours",
+                   help=f"comma subset of {','.join(METHODS)}: method lanes "
+                        "for the edit/evals/page steps (the full rehearsal "
+                        "runs all three, matching the reference supp.html "
+                        "columns)")
+    p.add_argument("--banner", default=None,
+                   help="provenance banner rendered at the top of the demo "
+                        "page — REQUIRED reading for synthetic-weight "
+                        "rehearsals (e.g. 'SYNTHETIC WEIGHTS')")
     p.add_argument("--allow_mel_fallback", action="store_true",
                    help="pass through to main_evals.py when the CLAP "
                         "protocol checkpoint is unreachable")
@@ -263,6 +343,10 @@ def main(argv=None) -> int:
     unknown = [s for s in wanted if s not in STEPS]
     if unknown:
         raise SystemExit(f"unknown steps: {unknown} (know {STEPS})")
+    bad_methods = [m for m in args.methods.split(",")
+                   if m.strip() and m.strip() not in METHODS]
+    if bad_methods:
+        raise SystemExit(f"unknown methods: {bad_methods} (know {METHODS})")
     if ("fetch" not in wanted and args.src is None
             and any(s in wanted for s in ("manifest", "convert"))):
         # without this, ctx.src=None fails deep inside the checkpoint
