@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import os
 import warnings
+from typing import Optional
 
 import numpy as np
 
@@ -88,23 +89,29 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tensor-parallel ways over the device mesh")
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel ways over the device mesh")
-    p.add_argument("--sp", type=int, default=1,
+    p.add_argument("--sp", type=int, default=None,
                    help="sequence-parallel ways (Stable Audio only): shard "
-                        "the DiT latent sequence axis over the mesh")
+                        "the DiT latent sequence axis over the mesh. An "
+                        "explicit --sp 1 still routes attention through the "
+                        "sp shard_map kernel path (the single-chip hardware "
+                        "rehearsal of the sp lowering)")
     return p
 
 
-def maybe_shard_pipeline(pipe, dp: int, tp: int, sp: int = 1):
+def maybe_shard_pipeline(pipe, dp: int, tp: int, sp: Optional[int] = None):
     """Shard model params over a (dp, tp[, sp]) mesh when requested; returns
     the mesh (or None). Weight matrices shard over output channels on 'tp';
     'sp' adds a sequence axis for the Stable Audio DiT (annotate the latent
-    with parallel.mesh.seq_sharding); XLA GSPMD inserts the ICI collectives."""
-    if dp * tp * sp <= 1:
+    with parallel.mesh.seq_sharding); XLA GSPMD inserts the ICI collectives.
+    sp=None means 'not requested'; an EXPLICIT sp — size 1 included — builds
+    the 3-axis mesh so the shard_map attention path engages (sp=1 on one
+    chip is how the sp kernel lowering is rehearsed on real hardware)."""
+    sp_eff = sp or 1
+    if dp * tp * sp_eff <= 1 and sp is None:
         return None
     from ..parallel.mesh import make_mesh, shard_module_params
 
-    mesh = make_mesh(n_devices=dp * tp * sp, dp=dp, tp=tp,
-                     sp=sp if sp > 1 else None)
+    mesh = make_mesh(n_devices=dp * tp * sp_eff, dp=dp, tp=tp, sp=sp)
     for attr in ("unet_params", "vae_params", "vocoder_params", "dit_params"):
         params = getattr(pipe, attr, None)
         if params is not None:
@@ -150,11 +157,15 @@ def main(argv=None):
     pipe = load_model(args.model_id, args.num_diffusion_steps,
                       weights_dir=args.weights_dir, dtype=dtype)
     spec = resolve_spec(args.model_id)
-    if args.sp > 1 and spec.family != "stable-audio":
+    if (args.sp or 1) > 1 and spec.family != "stable-audio":
         raise ValueError("--sp shards the DiT latent sequence axis; it "
                          "requires a stable-audio model (mel families scale "
                          "via --dp/--tp)")
-    mesh = maybe_shard_pipeline(pipe, args.dp, args.tp, args.sp)
+    # explicit --sp 1 on a mel family is a harmless no-op (the sp path only
+    # exists for the DiT), so only stable-audio threads it through
+    mesh = maybe_shard_pipeline(
+        pipe, args.dp, args.tp,
+        args.sp if spec.family == "stable-audio" else None)
 
     x0, sr, duration = load_audio(
         args.init_aud, pipe.mel_config,

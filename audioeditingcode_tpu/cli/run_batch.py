@@ -72,7 +72,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--dp", type=int, default=1,
                    help="shard the clip axis over 'dp'")
-    p.add_argument("--sp", type=int, default=1,
+    p.add_argument("--sp", type=int, default=None,
                    help="sequence-parallel ways (Stable Audio only): shard "
                         "each clip's DiT latent sequence axis")
     return p
@@ -146,7 +146,7 @@ def main(argv=None):
 
     spec = resolve_spec(args.model_id)
     stable_audio = spec.family == "stable-audio"
-    if args.sp > 1 and not stable_audio:
+    if (args.sp or 1) > 1 and not stable_audio:
         raise ValueError("--sp shards the DiT latent sequence axis; it "
                          "requires a stable-audio model")
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32

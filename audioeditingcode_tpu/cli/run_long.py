@@ -63,7 +63,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--dp", type=int, default=1,
                    help="shard the window axis over 'dp'")
-    p.add_argument("--sp", type=int, default=1,
+    p.add_argument("--sp", type=int, default=None,
                    help="sequence-parallel ways (Stable Audio only): shard "
                         "each window's DiT latent sequence axis")
     return p
@@ -81,7 +81,7 @@ def _main_stable_audio(args, seed, rng):
     pipe = load_model(args.model_id, args.num_diffusion_steps,
                       weights_dir=args.weights_dir, dtype=dtype)
     mesh = maybe_shard_pipeline(pipe, args.dp, args.tp,
-                                getattr(args, "sp", 1))
+                                getattr(args, "sp", None))
     sr = pipe.sample_rate
     max_s = pipe.audio_vae_length / sr
 
@@ -199,7 +199,7 @@ def main(argv=None):
     spec = resolve_spec(args.model_id)
     if spec.family == "stable-audio":
         return _main_stable_audio(args, seed, rng)
-    if getattr(args, "sp", 1) > 1:
+    if (getattr(args, "sp", None) or 1) > 1:
         raise ValueError("--sp shards the DiT latent sequence axis; it "
                          "requires a stable-audio model")
 

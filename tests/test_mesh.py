@@ -412,6 +412,43 @@ def test_cli_sp_flag_stable_audio(tmp_path, monkeypatch):
                    "engaged — the CLI lost its sp_mesh_scope routing")
 
 
+def test_cli_sp1_single_chip_rehearsal(tmp_path, monkeypatch):
+    """An explicit `--sp 1` on a single device is the CLI shape of the
+    sp-kernel hardware rehearsal (VERDICT r4 #5): it must build the
+    dp1 x tp1 x sp1 mesh and route DiT attention through the shard_map
+    Pallas path — NOT silently fall back to the meshless fast path the
+    un-passed default takes. A regression to the old `sp > 1` filtering
+    would disable the only sp lowering check a 1-chip TPU allows."""
+    import numpy as np
+
+    import audioeditingcode_tpu.ops.flash_attention as fa
+    from audioeditingcode_tpu.cli import run
+    from audioeditingcode_tpu.utils.audio_io import write_wav
+
+    monkeypatch.setenv("PALLAS_INTERPRET_ATTENTION", "1")
+    monkeypatch.setattr(fa, "_MIN_SEQ_FOR_KERNEL", 8)
+    calls = []
+    real_sp = fa._sp_blocked_attention
+    monkeypatch.setattr(
+        fa, "_sp_blocked_attention",
+        lambda *a, **kw: (calls.append(1), real_sp(*a, **kw))[1])
+
+    sr = 4000
+    t = np.arange(200, dtype=np.float32) / sr
+    p = str(tmp_path / "clip.wav")
+    write_wav(p, (0.4 * np.sin(2 * np.pi * 220 * t))[None], sr)
+
+    out = run.main([
+        "--model_id", "test/tiny-stable-audio", "--init_aud", p,
+        "--target_prompt", "a violin", "--num_diffusion_steps", "4",
+        "--tstart", "3", "--results_path", str(tmp_path / "r"),
+        "--seed", "0", "--sp", "1",
+    ])
+    assert os.path.exists(out)
+    assert calls, ("--sp 1 edit ran but the sp shard_map Pallas path never "
+                   "engaged — the single-chip rehearsal is a silent no-op")
+
+
 def test_cli_sp_flag_rejected_for_mel(tmp_path):
     """--sp on a mel-family model is an explicit error."""
     import numpy as np
