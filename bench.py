@@ -625,6 +625,12 @@ def _consistency_pass(spec, row, t_start, budget):
         best["consistency"] = resolved
     best["consistency_runs"] = [r["steps_per_sec_per_chip"] for r in runs]
     best["consistency_digests"] = digests
+    # Phase context per run: a consistency child can be wall-slow (cold
+    # cache, degraded tunnel window) while measuring identical steps/s —
+    # r5 saw 962 s vs 1489 s children agree within 0.2%. Recording each
+    # run's wall/load keeps such outliers self-explaining in the artifact.
+    best["consistency_child_walls_s"] = [r.get("child_wall_s") for r in runs]
+    best["consistency_loads_s"] = [r.get("load_s") for r in runs]
     return best
 
 
