@@ -17,6 +17,10 @@ Robustness contract (the driver records the LAST JSON line of the tail):
     after every subsequent row/pass, so a driver kill at ANY point records
     everything completed so far (BENCH_r04 died parsed-null because the
     old ordering ran the headline's consistency child first);
+  - consistency re-measures are DEFERRED until all families have run:
+    a consistency child costs a whole extra child, and in a ~25-30 min
+    driver window running it second crowds out distinct family rows
+    (rounds 1-4 driver artifacts never held an AudioLDM-s/-l/TANGO row);
   - BENCH_BUDGET_S bounds total wall time (default 1500 s — the observed
     driver window is ~30 min, not the 50 min previously assumed): no new
     family is launched when the remaining budget can't plausibly fit one,
@@ -674,6 +678,7 @@ def orchestrate() -> int:
                   and w not in [s.split(":")[0] for s in specs]]
 
     rows, skipped = [], []
+    pending = []  # (row index, spec) deferred consistency re-measures
     for i, spec in enumerate(specs):
         remaining = budget - (time.monotonic() - t_start)
         if remaining < MIN_LAUNCH_BUDGET_S and rows:
@@ -685,25 +690,37 @@ def orchestrate() -> int:
         row, errs = _measure_spec(spec, attempts, t_start, budget,
                                   have_rows=bool(rows))
         if row is not None:
-            # Print the cumulative line IMMEDIATELY — before the
-            # consistency re-measure, which can cost a whole extra child
-            # (~14 min in the driver environment). BENCH_r04 was killed
-            # inside exactly that window and recorded parsed=null even
-            # though a valid headline row existed in memory (VERDICT r4
-            # #1a). The consistency-refined row replaces it below and the
-            # line is re-printed.
             rows.append(row)
-            note = f"incomplete: {', '.join(skipped)}" if skipped else ""
-            print(_result_line(rows, note), flush=True)
-            rows[-1] = _consistency_pass(spec, row, t_start, budget)
-            print(f"[bench] {spec}: "
-                  f"{rows[-1]['steps_per_sec_per_chip']} "
+            # Defer the consistency re-measure until every family has had
+            # a chance to land a row: a consistency child costs a whole
+            # extra child (~7-16 min), and in a ~25-30 min driver window
+            # running it as the SECOND child crowds out distinct families
+            # (across rounds 1-4 the driver artifact never held an
+            # AudioLDM-s/-l or TANGO row). The pre-consistency snapshot is
+            # printed immediately — a driver kill at any point still
+            # records the most important number (VERDICT r4 #1a).
+            if spec == HEADLINE or row.get("stall_suspect"):
+                pending.append((len(rows) - 1, spec))
+            print(f"[bench] {spec}: {row['steps_per_sec_per_chip']} "
                   f"steps/s/chip", file=sys.stderr)
         else:
             skipped.append(f"{spec} ({'; '.join(errs)})")
         # Stream the cumulative line after EVERY family so a driver kill
         # mid-run still records everything completed so far.
         note = f"incomplete: {', '.join(skipped)}" if skipped else ""
+        print(_result_line(rows, note), flush=True)
+
+    # Consistency re-measures last (headline always; stall suspects too),
+    # each followed by a refreshed cumulative line. With leftover budget
+    # this verifies the headline in a second fresh process; without, the
+    # row is labelled "skipped: budget" and the full table stands.
+    note = f"incomplete: {', '.join(skipped)}" if skipped else ""
+    for idx, spec in pending:
+        rows[idx] = _consistency_pass(spec, rows[idx], t_start, budget)
+        print(f"[bench] {spec} consistency: "
+              f"{rows[idx].get('consistency')} -> "
+              f"{rows[idx]['steps_per_sec_per_chip']} steps/s/chip",
+              file=sys.stderr)
         print(_result_line(rows, note), flush=True)
 
     if not rows:

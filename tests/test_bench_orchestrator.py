@@ -46,25 +46,33 @@ def test_streams_cumulative_line_per_family_headline_first():
     proc = _run({})
     assert proc.returncode == 0, proc.stderr
     lines = _json_lines(proc.stdout)
-    # TWO cumulative lines per successful family (7 specs): one printed
-    # IMMEDIATELY after the row lands — before the consistency re-measure,
-    # whose extra child is where BENCH_r04's driver kill hit — and one
-    # after the consistency-refined row replaces it (VERDICT r4 #1a)
-    assert len(lines) == 14
+    # ONE cumulative line per family (7 specs) plus one line after the
+    # DEFERRED headline consistency re-measure: the re-measure costs a
+    # whole extra child, so it runs only after every family has had a
+    # chance to land a row in the driver window (rounds 1-4 driver
+    # artifacts never held an AudioLDM-s/-l/TANGO row because the old
+    # ordering ran the consistency child second)
+    assert len(lines) == 8
     # the FIRST line already carries the headline family — a driver kill
-    # even DURING the headline's consistency child still records the most
-    # important number
+    # at any later point still records the most important number
     first = lines[0]
     head0 = first["detail"]["families"][0]
     assert head0["model"] == "cvssp/audioldm2-music"
     assert first["value"] > 0
     assert "consistency" not in head0  # pre-consistency snapshot
-    # the headline is re-measured in a second fresh process (VERDICT r3 #1)
-    head = lines[1]["detail"]["families"][0]
+    # every family lands BEFORE the headline's consistency re-measure
+    assert len(lines[6]["detail"]["families"]) == 7
+    assert "consistency" not in lines[6]["detail"]["families"][0]
+    # the headline is re-measured in a second fresh process (VERDICT r3
+    # #1), refreshing the final cumulative line
+    head = lines[7]["detail"]["families"][0]
     assert head["consistency"] == "two_run_agreement"
     assert head["consistency_runs"] == [50.0, 50.0]
     # identical digests prove both processes ran the same program
     assert len(set(head["consistency_digests"])) == 1
+    # phase context per consistency run (wall-slow-but-correct outliers
+    # stay self-explaining in the artifact)
+    assert len(head["consistency_child_walls_s"]) == 2
     last = lines[-1]
     assert len(last["detail"]["families"]) == 7
     assert last["metric"] == "unet_steps_per_sec_per_chip"
@@ -134,8 +142,10 @@ def test_headline_disagreement_resolved_by_third_run(tmp_path):
     the FASTEST of all runs wins (VERDICT r3 #1: every rep materializes
     its output, so wall time is a strict upper bound on device execution —
     a degraded tunnel/chip can only make a run SLOWER than the truth)."""
+    # child order: headline, empty_src family (99), then the DEFERRED
+    # consistency children (30 -> disagree -> 48)
     seq = tmp_path / "vals.txt"
-    seq.write_text("50,30,48")
+    seq.write_text("50,99,30,48")
     proc = _run({
         "BENCH_MODELS": "cvssp/audioldm2-music",
         "BENCH_FAKE_VALUE_FILE": str(seq),
@@ -155,7 +165,7 @@ def test_degraded_pair_cannot_outvote_fast_run(tmp_path):
     50 (PERF_NOTES.md 'Measurement trust': within a degraded session even
     fresh-process re-runs agree with each other while being wrong)."""
     seq = tmp_path / "vals.txt"
-    seq.write_text("50,30,31")
+    seq.write_text("50,99,30,31")  # 99 = interleaved empty_src family child
     proc = _run({
         "BENCH_MODELS": "cvssp/audioldm2-music",
         "BENCH_FAKE_VALUE_FILE": str(seq),
@@ -204,9 +214,9 @@ def test_digest_mismatch_blocks_fastest_run_rule(tmp_path):
     keeps the FIRST run and marks the row unresolved instead of letting a
     silently-smaller program win on speed."""
     vals = tmp_path / "vals.txt"
-    vals.write_text("48,50")  # run 2 is "faster" (within agreement band) ...
-    digs = tmp_path / "digs.txt"
-    digs.write_text("aaaa,bbbb")  # ... but computed something else
+    vals.write_text("48,99,50")  # run 2 is "faster" (within agreement band),
+    digs = tmp_path / "digs.txt"  # 99 = interleaved empty_src family child
+    digs.write_text("aaaa,xxxx,bbbb")  # ... but computed something else
     proc = _run({
         "BENCH_MODELS": "cvssp/audioldm2-music",
         "BENCH_FAKE_VALUE_FILE": str(vals),
