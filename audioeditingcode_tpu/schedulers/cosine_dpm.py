@@ -179,10 +179,19 @@ def init_solver_state(
     like: jnp.ndarray, m1: Optional[jnp.ndarray] = None
 ) -> SolverState:
     """Fresh state (start of a full run) or warm state from the forward pass's
-    history (the reference's setup_extra_inputs Option 2, models.py:1180-1184)."""
+    history (the reference's setup_extra_inputs Option 2, models.py:1180-1184).
+
+    The history lives in SOLVER space: every in-scan update promotes to the
+    schedule's float32 (f32 sigmas x latent), so the state must be created
+    in that promoted dtype too — initializing at a bfloat16 latent's dtype
+    desynchronizes the scan carry (input m1 bf16, output m1 f32) and fails
+    scan's carry type check (hit by the CLI's --dtype bfloat16 Stable Audio
+    path, whose Oobleck vae_encode emits bf16 latents)."""
+    dtype = jnp.promote_types(like.dtype, jnp.float32)
     if m1 is None:
-        return SolverState(m1=jnp.zeros_like(like), m1_valid=jnp.asarray(False))
-    return SolverState(m1=m1, m1_valid=jnp.asarray(True))
+        return SolverState(m1=jnp.zeros_like(like, dtype=dtype),
+                           m1_valid=jnp.asarray(False))
+    return SolverState(m1=m1.astype(dtype), m1_valid=jnp.asarray(True))
 
 
 def _updates(sched: CosineDPMSchedule, k, sample, m0, m1, noise):

@@ -231,6 +231,26 @@ class TestInversion:
         cold = inversion_reverse_process(solver, denoise, xts, zs[:T])
         assert not np.allclose(np.asarray(warm), np.asarray(cold), atol=1e-7)
 
+    def test_bfloat16_latent_roundtrips(self, setup):
+        """Regression: a bfloat16 latent (the CLI's --dtype bfloat16 Stable
+        Audio path — the Oobleck vae_encode emits the params dtype) must not
+        desynchronize the scan carry. The in-scan solver math promotes to
+        f32 (f32 sigmas), so the history state must be created in the
+        promoted dtype; before the fix lax.scan raised TypeError (carry m1
+        bf16 in, f32 out)."""
+        S, sched, solver, x0 = setup
+        denoise = _denoiser(sched)
+        x0_bf16 = x0.astype(jnp.bfloat16)
+        _, zs, xts, extras = inversion_forward_process(
+            solver, denoise, x0_bf16, jax.random.PRNGKey(6),
+            return_extras=True,
+        )
+        assert xts.dtype == jnp.float32  # trajectory lives in solver space
+        rec = inversion_reverse_process(solver, denoise, xts, zs)
+        np.testing.assert_allclose(
+            np.asarray(rec[0]), np.asarray(xts[0, 0]), atol=1e-4
+        )
+
     def test_first_order_flag(self, setup):
         S, sched, _, x0 = setup
         solver1 = CosineDPMSolver(sched, first_order=True)
