@@ -172,9 +172,15 @@ def pc_extract_main(argv=None):
     if args.weights_dir is None:
         warnings.warn("--weights_dir not given: running with RANDOM weights.")
 
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args.dtype == "bfloat16":
+        # Same override as cli/pc_extract.py: the finite-difference power
+        # iteration probe sits below bf16 quantization and NaNs out.
+        warnings.warn("--dtype bfloat16 is numerically unsound for "
+                      "finite-difference PC extraction (probe below bf16 "
+                      "quantization); overriding to float32.")
+        args.dtype = "float32"
     pipe = load_model(args.model_id, args.num_diffusion_steps,
-                      weights_dir=args.weights_dir, dtype=dtype)
+                      weights_dir=args.weights_dir, dtype=jnp.float32)
     x0 = jnp.asarray(load_image(args.init_im, resize=tuple(args.resize)))
     w0 = pipe.vae_encode(x0)
 

@@ -112,9 +112,22 @@ def main(argv=None):
     if args.weights_dir is None:
         warnings.warn("--weights_dir not given: running with RANDOM weights.")
 
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args.dtype == "bfloat16":
+        # Power iteration probes the denoiser Jacobian by finite differences
+        # at const=1e-3 (reference pc_drift.py:140-177): the per-element
+        # perturbation (~1e-3/sqrt(N)) sits far BELOW bfloat16's ~8-bit
+        # mantissa quantization of the latent, so at bf16 the probe
+        # difference collapses to zero norm and the renormalization emits
+        # NaN eigvectors (measured: tiny-stable-audio extraction produced
+        # NaN eigvals). The reference runs extraction in fp32 with an fp64
+        # option (main_pc_extract_inv.py:65-69 double_precision); fp32 is
+        # the minimum sound precision, so override and say so.
+        warnings.warn("--dtype bfloat16 is numerically unsound for "
+                      "finite-difference PC extraction (probe below bf16 "
+                      "quantization); overriding to float32.")
+        args.dtype = "float32"
     pipe = load_model(args.model_id, args.num_diffusion_steps,
-                      weights_dir=args.weights_dir, dtype=dtype)
+                      weights_dir=args.weights_dir, dtype=jnp.float32)
     spec = resolve_spec(args.model_id)
     from .run import maybe_shard_pipeline
 

@@ -140,3 +140,34 @@ def test_pc_extract_and_apply_cli_stable_audio(tmp_path):
     assert outs and all(os.path.exists(o) for o in outs)
     rate, wav = wavfile.read(outs[0])
     assert rate == 4000 and wav.size > 0
+
+
+def test_pc_extract_bf16_overridden_to_f32(tmp_path):
+    """Regression: --dtype bfloat16 extraction produced NaN eigvectors (the
+    finite-difference probe at const=1e-3 sits below bf16's mantissa
+    quantization, collapsing the power-iteration direction to zero norm).
+    The CLI must warn, override to float32, and record float32 in the
+    checkpoint args so pc_apply follows suit."""
+    import json
+    import pytest
+
+    from audioeditingcode_tpu.cli import pc_extract
+
+    sr = 4000
+    t = np.arange(2 * sr, dtype=np.float32) / sr
+    clip = tmp_path / "clip.wav"
+    wavfile.write(str(clip), sr,
+                  (0.4 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16))
+
+    with pytest.warns(UserWarning, match="unsound"):
+        ckpt = pc_extract.main([
+            "--model_id", "test/tiny-stable-audio", "--init_aud", str(clip),
+            "--num_diffusion_steps", "4", "--drift_start", "3",
+            "--drift_end", "1", "--iters", "2", "--n_evs", "1",
+            "--dtype", "bfloat16",
+            "--results_path", str(tmp_path / "r"), "--seed", "0",
+        ])
+    d = np.load(ckpt, allow_pickle=True)
+    assert not np.isnan(d["eig_vals"]).any()
+    assert not np.isnan(d["eig_vecs"]).any()
+    assert json.loads(str(d["args_json"]))["dtype"] == "float32"
