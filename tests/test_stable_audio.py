@@ -158,6 +158,31 @@ class TestCLI:
         assert os.path.exists(out)
         assert os.path.exists(os.path.join(os.path.dirname(out), "orig.wav"))
 
+    def test_main_run_stable_audio_bf16_with_source(self, tmp_path):
+        """Regression: --dtype bfloat16 with a source prompt crashed at
+        trace time (scan carry desync: the Oobleck vae_encode emits bf16
+        latents but the solver history lives in f32 — cosine_dpm
+        init_solver_state). The exact failing CLI config, tiny-sized."""
+        import scipy.io.wavfile as wavfile
+
+        sr = 4000
+        t = np.arange(sr, dtype=np.float32) / sr
+        wav = (0.4 * np.sin(2 * np.pi * 330 * t) * 32767).astype(np.int16)
+        p = tmp_path / "clip.wav"
+        wavfile.write(p, sr, np.stack([wav, wav], axis=1))
+
+        from audioeditingcode_tpu.cli import run
+
+        out = run.main([
+            "--model_id", TINY, "--init_aud", str(p),
+            "--source_prompt", "a recording of music",
+            "--target_prompt", "a cello",
+            "--num_diffusion_steps", "6", "--tstart", "4",
+            "--dtype", "bfloat16",
+            "--results_path", str(tmp_path / "results_bf16"), "--seed", "0",
+        ])
+        assert os.path.exists(out)
+
 
 class TestSDEdit:
     def test_sdedit_cli_stable_audio(self, tmp_path):
