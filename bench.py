@@ -42,7 +42,11 @@ Env overrides:
   BENCH_MODELS   comma list of model ids, or "all" (default: all 5 families)
                  a ":batchN" suffix (e.g. cvssp/audioldm-s-full-v2:batch4)
                  benches an N-clip vmapped edit and reports clips/min —
-                 the measured single-chip anchor for the v5e-4 dp lane
+                 the measured single-chip anchor for the v5e-4 dp lane;
+                 ":sp1" (stable-audio only) runs the worst-case edit with
+                 the sequence-parallel shard_map attention path on a
+                 1-chip sp mesh — its delta vs the dense row is the
+                 measured sp-machinery overhead
   BENCH_MODEL    legacy single-model override (implies BENCH_MODELS=<it>)
   BENCH_DTYPE    bfloat16|float32 (default bfloat16)
   BENCH_STEPS    mel-family diffusion steps (default 200)
@@ -233,7 +237,7 @@ def bench_mel(model_id: str, steps: int, dtype_s: str,
 
 
 def bench_stable_audio(model_id: str, steps: int, dtype_s: str,
-                       empty_src: bool = False) -> dict:
+                       empty_src: bool = False, sp1: bool = False) -> dict:
     """DiT edit with 2nd-order solver history threading (100+50 steps).
 
     empty_src=True benches the editing-typical CLI config (no source
@@ -242,7 +246,16 @@ def bench_stable_audio(model_id: str, steps: int, dtype_s: str,
     exact-math optimization the CLI applies (run.py src=None path) and the
     reference never exploits (it always runs both CFG streams,
     inversion_utils.py:95-102). The default row keeps the worst-case
-    batch-2 CFG forward for comparability."""
+    batch-2 CFG forward for comparability.
+
+    sp1=True (spec suffix ":sp1") runs the identical worst-case edit with
+    an explicit sequence-parallel axis of size 1 on a dp1 x tp1 x sp1 mesh:
+    the DiT self-attention routes through the shard_map Pallas kernel
+    (parallel/mesh.py), which is the only sp hardware rehearsal possible
+    in a 1-chip environment (VERDICT r4 #5). The row's delta vs the dense
+    default row IS the measured shard_map/sp-machinery overhead."""
+    import contextlib
+
     import jax
     import jax.numpy as jnp
 
@@ -256,9 +269,18 @@ def bench_stable_audio(model_id: str, steps: int, dtype_s: str,
     phases = {}
     t0 = time.perf_counter()
     pipe = load_model(model_id, steps, dtype=dtype)
+    mesh = None
+    if sp1:
+        from audioeditingcode_tpu.cli.run import maybe_shard_pipeline
+
+        mesh = maybe_shard_pipeline(pipe, 1, 1, 1)
     phases["load_s"] = round(time.perf_counter() - t0, 2)
     shape = (1, pipe.dit.config.in_channels, pipe.sample_size)
     w0 = jax.random.normal(jax.random.PRNGKey(0), shape, dtype=jnp.float32)
+    if mesh is not None:
+        from audioeditingcode_tpu.parallel.mesh import seq_sharding
+
+        w0 = jax.device_put(w0, seq_sharding(mesh, w0.ndim))
     tstart = steps // 2
 
     bundle = {
@@ -280,10 +302,22 @@ def bench_stable_audio(model_id: str, steps: int, dtype_s: str,
         return inversion_reverse_process(
             p.sched, rev_den, xts, zs[:tstart], init_history=extras[tstart - 1])
 
-    reps = _timed_reps(edit, bundle, w0, phases)
+    # sp_mesh_scope must wrap the FIRST edit call — jit traces there and
+    # the scope is what routes attention through the shard_map kernel
+    # (cli/run.py does the same around its edit call).
+    if mesh is not None:
+        from audioeditingcode_tpu.ops.flash_attention import sp_mesh_scope
+
+        scope = sp_mesh_scope(mesh)
+    else:
+        scope = contextlib.nullcontext()
+    with scope:
+        reps = _timed_reps(edit, bundle, w0, phases)
     row = _row(model_id, dtype_s, steps + tstart, reps, list(shape), phases)
     if empty_src:
         row["config"] = "empty_src_batch1_fwd"
+    if sp1:
+        row["config"] = "sp1_shardmap_worst_case_batch2_cfg"
     return row
 
 
@@ -426,7 +460,9 @@ def run_family(spec: str) -> dict:
                     "config": f"batch{batch}_throughput"}
                    if batch > 1 else {}),
                 **({"config": "empty_src_batch1_fwd"}
-                   if variant == "empty_src" else {})}
+                   if variant == "empty_src" else {}),
+                **({"config": "sp1_shardmap_worst_case_batch2_cfg"}
+                   if variant == "sp1" else {})}
 
     from audioeditingcode_tpu.utils.jax_setup import enable_compilation_cache
 
@@ -439,7 +475,8 @@ def run_family(spec: str) -> dict:
     model_id, _, variant = spec.partition(":")
     if "stable-audio" in model_id:
         row = bench_stable_audio(model_id, sa_steps, dtype_s,
-                                 empty_src=(variant == "empty_src"))
+                                 empty_src=(variant == "empty_src"),
+                                 sp1=(variant == "sp1"))
     elif "stable-diffusion" in model_id:
         row = bench_image(model_id, steps, dtype_s)
     elif variant.startswith("batch"):

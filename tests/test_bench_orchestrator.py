@@ -258,6 +258,19 @@ def test_batch_lane_spec_reports_clips_per_min():
     assert row["clips_per_min"] == 200.0  # fake value 50.0 * batch 4
 
 
+def test_sp1_lane_spec_is_labelled():
+    """The ':sp1' opt-in spec (VERDICT r4 #5) runs the worst-case Stable
+    Audio edit through the sequence-parallel shard_map attention path on a
+    1-chip sp mesh; the row must be labelled so its delta vs the dense row
+    reads as the measured sp-machinery overhead."""
+    proc = _run({"BENCH_MODELS": "stabilityai/stable-audio-open-1.0:sp1"})
+    assert proc.returncode == 0, proc.stderr
+    last = _json_lines(proc.stdout)[-1]
+    fams = last["detail"]["families"]
+    assert [r.get("config") for r in fams] == [
+        "sp1_shardmap_worst_case_batch2_cfg"]
+
+
 def test_backend_down_emits_parseable_empty_line(monkeypatch, capsys):
     """With the axon tunnel down (BENCH_r02's failure mode) the orchestrator
     must print a parseable empty result line and exit 1 instead of letting
