@@ -106,6 +106,10 @@ def maybe_shard_pipeline(pipe, dp: int, tp: int, sp: Optional[int] = None):
     sp=None means 'not requested'; an EXPLICIT sp — size 1 included — builds
     the 3-axis mesh so the shard_map attention path engages (sp=1 on one
     chip is how the sp kernel lowering is rehearsed on real hardware)."""
+    if sp is not None and sp < 1:
+        # --sp 0 means "disabled" (the pre-sp=1-rework no-op); forwarding
+        # the raw 0 to make_mesh would trip its sp >= 1 assert.
+        sp = None
     sp_eff = sp or 1
     if dp * tp * sp_eff <= 1 and sp is None:
         return None

@@ -385,7 +385,14 @@ def _row(model_id, dtype_s, unet_steps, reps, latent, phases,
 
     n_chips = jax.device_count()
     med = statistics.median(reps)
-    per_chip = unet_steps / med / n_chips
+    # batch>1 (the ':batchN' dp-lane anchor) executes batch independent
+    # clips per scan step, so the chip's denoiser-step rate is the
+    # AGGREGATE batch*unet_steps/med — reporting the per-clip rate would
+    # make update_perf_docs flag a 4x-over-target throughput lane as
+    # "sub-target". (The batch-2 CFG pair inside one denoiser step stays
+    # ONE step by convention — it is algorithmically required, clips are
+    # independent work.)
+    per_chip = unet_steps * batch / med / n_chips
     spread = max(reps) / min(reps)
     return {
         "model": model_id,
@@ -473,17 +480,32 @@ def run_family(spec: str) -> dict:
     sa_steps = int(os.environ.get("BENCH_SA_STEPS", "100"))
 
     model_id, _, variant = spec.partition(":")
+    # Reject unknown (family, variant) combos loudly: before this guard a
+    # typo'd or misapplied suffix (":sp1" on a mel model, ":batch4" on
+    # stable-audio, ":empty_source") silently benched the default config
+    # with NO config label — a wrong measurement masquerading as the
+    # requested lane in the artifact. The child exits non-zero and the
+    # orchestrator records the error in the note instead.
     if "stable-audio" in model_id:
+        if variant not in ("", "empty_src", "sp1"):
+            raise ValueError(f"unknown stable-audio bench variant "
+                             f"{variant!r} (supported: empty_src, sp1)")
         row = bench_stable_audio(model_id, sa_steps, dtype_s,
                                  empty_src=(variant == "empty_src"),
                                  sp1=(variant == "sp1"))
     elif "stable-diffusion" in model_id:
+        if variant:
+            raise ValueError(f"stable-diffusion bench takes no variant "
+                             f"suffix, got {variant!r}")
         row = bench_image(model_id, steps, dtype_s)
-    elif variant.startswith("batch"):
+    elif variant.startswith("batch") and variant[5:].isdigit():
         batch = int(variant[5:])
         row = bench_mel(model_id, steps, dtype_s, batch=batch)
         row["config"] = f"batch{batch}_throughput"
     else:
+        if variant not in ("", "empty_src"):
+            raise ValueError(f"unknown mel bench variant {variant!r} "
+                             f"(supported: empty_src, batchN)")
         row = bench_mel(model_id, steps, dtype_s,
                         empty_src=(variant == "empty_src"))
     row["cache_hits"] = counts["hits"]

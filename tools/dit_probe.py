@@ -18,7 +18,8 @@ Variants:
   no_ff         skip the SwiGLU FF entirely
   ff_only       FF sublayer only (residual chain kept)
 
-Run on the real TPU:  python tools/dit_probe.py [--steps 50] [--reps 3]
+Run on the real TPU:  python tools/dit_probe.py [--steps 200] [--reps 5]
+(baseline runs first AND last to bracket tunnel-session drift)
 """
 
 from __future__ import annotations
@@ -138,15 +139,15 @@ def build_variant_forward(variant: str):
     params = module.init(jax.random.PRNGKey(2), x, ctx, rot)
     # Store params in bf16 like the shipping pipeline does: Flax init
     # returns f32 (param_dtype default), and leaving them f32 makes every
-    # scan step cast the full parameter set f32->bf16 — measured +8
-    # ms/step of pure HBM traffic that the real model never pays.
+    # scan step cast the full parameter set f32->bf16 — measured ~3
+    # ms/step of pure cast/HBM traffic that the real model never pays.
     params = jax.tree.map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
         params)
     return module, params, (x, ctx, rot)
 
 
-def time_variant(variant: str, steps: int, reps: int) -> float:
+def time_variant(variant: str, steps: int, reps: int) -> list:
     import jax
     import jax.numpy as jnp
 

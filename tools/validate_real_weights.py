@@ -287,12 +287,21 @@ def step_page(ctx: Ctx) -> str:
     # the page scanner wants the results ROOT (<root>/<model>/<clip>/...,
     # build_demo_page.scan_results), NOT the per-model dir the eval tower
     # takes — the round-4 runbook passed the model dir here and silently
-    # built an empty page; the all-lanes rehearsal test now pins this
-    argv = ["--results", ctx.lane_dirs["ours"], "--out", out,
+    # built an empty page; the all-lanes rehearsal test now pins this.
+    # The primary column is the first requested method that actually has
+    # a results root — with --methods ddim (no ours lane) the old
+    # hard-coded "ours" root doesn't exist and listdir would die.
+    primary = next((m for m in ctx.methods
+                    if os.path.isdir(ctx.lane_dirs[m])), None)
+    if primary is None:
+        raise RuntimeError(
+            f"no results root exists for any requested method "
+            f"({', '.join(ctx.methods)}); run the edit step first")
+    argv = ["--results", ctx.lane_dirs[primary], "--out", out,
             "--copy-audio", os.path.join(ctx.args.work_dir, "audio")]
-    if "sdedit" in ctx.methods:
+    if "sdedit" in ctx.methods and primary != "sdedit":
         argv += ["--sdedit", ctx.lane_dirs["sdedit"]]
-    if "ddim" in ctx.methods:
+    if "ddim" in ctx.methods and primary != "ddim":
         argv += ["--ddim", ctx.lane_dirs["ddim"]]
     if ctx.args.banner:
         argv += ["--banner", ctx.args.banner]
